@@ -1,0 +1,500 @@
+"""Command-line interface.
+
+Flag-compatible with the reference CLI (neural_audio_tokenizer.py:5234-5831;
+man/neural_audio_tokenizer.1): same flag names, same default-mode
+stdout/stderr discipline (stdout carries only NDJSON unless other formats are
+requested; stderr is empty unless verbosity is raised), same input routing
+(files, --stdin path lists with binary tolerance, piped raw bytes,
+interactive read-to-EOF, ASCII-FS-delimited multi-file splitting), and the
+same three execution cases (batch-to-dir, multi-file sequential streaming,
+single file).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import sys
+from dataclasses import asdict
+from pathlib import Path
+from typing import Dict, List, Optional
+
+from .io.stdinio import (chunks_to_temp_files, cleanup_temp_files,
+                         has_piped_stdin, looks_like_text, read_stdin_bytes,
+                         split_fs_chunks)
+from .utils.logging import (LogLevel, StreamLock, configure_quiet_external,
+                            logger, set_default_mode, set_log_level)
+from .version import VERSION, VERSION_TAG
+
+BANNER = f"Enhanced Neural Audio-to-LLM Tokenizer {VERSION_TAG} (TPU-native)"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="nat-tpu",
+        description=f"{BANNER} - MERT music-optimized codebook initialization",
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        epilog="""
+Examples:
+  %(prog)s song.wav --output tokens.txt
+  %(prog)s --stdin --format interleaved > tokens.txt
+  %(prog)s *.wav --batch --output-dir results/ --format hierarchical
+  %(prog)s song.wav --evaluate --metrics metrics.json
+  %(prog)s song.wav --ndjson-streaming > tokens.ndjson
+  %(prog)s song.wav --rle --encoding "S=rle,A=dense"
+  %(prog)s song.wav --deterministic
+  cat a.wav $'\\x1c' b.wav | %(prog)s > tokens.ndjson
+        """,
+    )
+
+    # Input/Output
+    parser.add_argument("input_files", nargs="*", help="Input audio files")
+    parser.add_argument("--stdin", action="store_true",
+                        help="Read file paths from stdin")
+    parser.add_argument("--output", "-o", help="Output file (default: stdout)")
+    parser.add_argument("--output-dir", help="Output directory for all outputs mode")
+    parser.add_argument("--all-outputs", action="store_true",
+                        help="Generate all output formats")
+
+    # Tokenization format
+    parser.add_argument("--format", choices=["hierarchical", "interleaved", "structured"],
+                        default="hierarchical", help="Token format (default: hierarchical)")
+    parser.add_argument("--streaming", action="store_true",
+                        help="Use streaming protocol output")
+    parser.add_argument("--ndjson-streaming", action="store_true",
+                        help="Use NDJSON streaming (LAM v0.1)")
+    parser.add_argument("--rle", action="store_true",
+                        help="Use RLE mode for more efficient NDJSON streaming")
+    parser.add_argument("--chunk-size", type=int, default=8192,
+                        help="Streaming chunk size")
+    parser.add_argument("--model-id", default=f"tims-ears-{VERSION}.mert",
+                        help="Model identifier for token semantics stability")
+
+    # Advanced RLE and encoding options
+    parser.add_argument("--keyframe-interval", type=float, default=5.0,
+                        help="Keyframe interval in seconds for RLE mode (default: 5.0)")
+    parser.add_argument("--encoding",
+                        help='Per-layer encoding, e.g. "S0=rle,A0=dense" or "S=rle,A=dense"')
+    parser.add_argument("--rle-semantic", action="store_true",
+                        help="Force RLE encoding for all semantic layers")
+    parser.add_argument("--dense-acoustic", action="store_true",
+                        help="Force dense encoding for all acoustic layers")
+    parser.add_argument("--no-legend", action="store_true",
+                        help="Omit legend from NDJSON header to save tokens")
+
+    # Codebook initialization
+    parser.add_argument("--codebook-init", choices=["mert", "encodec", "random"],
+                        default="mert",
+                        help="Codebook initialization method (default: mert)")
+    parser.add_argument("--codebook-cache-dir",
+                        help="Directory for codebook caching")
+    parser.add_argument("--no-codebook-cache", action="store_true",
+                        help="Disable codebook caching")
+    parser.add_argument("--force-reinit-codebooks", action="store_true",
+                        help="Force re-initialization of codebooks")
+
+    # Reconstruction and legacy options
+    parser.add_argument("--no-reconstruction", action="store_true",
+                        help="Disable audio reconstruction decoder")
+    parser.add_argument("--use-encodec", action="store_true",
+                        help="DEPRECATED: use --codebook-init=encodec")
+    parser.add_argument("--encodec-model", default="facebook/encodec_24khz",
+                        help="Encodec model to use")
+
+    # Deterministic mode
+    parser.add_argument("--deterministic", action="store_true",
+                        help="Enable deterministic mode for reproducible results")
+    parser.add_argument("--seed", type=int, default=42,
+                        help="Random seed for deterministic mode (default: 42)")
+
+    # Audio processing
+    parser.add_argument("--resample", type=int, nargs="?", const=22050, default=None,
+                        help="Resample audio to specified Hz")
+    parser.add_argument("--hop-length", type=int, default=512, help="STFT hop length")
+    parser.add_argument("--n-mels", type=int, default=128, help="Number of mel bands")
+
+    # Model architecture
+    parser.add_argument("--semantic-dim", type=int, default=512,
+                        help="Semantic feature dimension")
+    parser.add_argument("--acoustic-dim", type=int, default=512,
+                        help="Acoustic feature dimension")
+    parser.add_argument("--codebook-size", type=int, default=4096,
+                        help="Quantizer codebook size (default: 4096)")
+    parser.add_argument("--num-quantizers", type=int, default=8,
+                        help="Number of quantizer layers")
+
+    # Deprecated audio options
+    parser.add_argument("--sample-rate", type=int, default=22050,
+                        help="DEPRECATED: use --resample instead")
+
+    # Evaluation
+    parser.add_argument("--evaluate", action="store_true",
+                        help="Run comprehensive evaluation")
+    parser.add_argument("--metrics", help="Output metrics to JSON file")
+    parser.add_argument("--reconstruction", action="store_true",
+                        help="DEPRECATED: reconstruction is on by default")
+    parser.add_argument("--budget-report", action="store_true",
+                        help="Show detailed token budget report")
+    parser.add_argument("--seq-vis", action="store_true",
+                        help="Sequential visualization generation (lower memory)")
+
+    # Processing options
+    parser.add_argument("--batch", action="store_true", help="Batch processing mode")
+    parser.add_argument("--device", default="auto",
+                        help="Processing device (auto/tpu/cpu)")
+    parser.add_argument("--max-length", type=int,
+                        help="Maximum audio length in samples")
+    parser.add_argument("--compat-fallback", action="store_true",
+                        help="Enable compatibility fallback mode")
+
+    # Advanced options
+    parser.add_argument("--model-path", help="Path to pre-trained model weights")
+    parser.add_argument("--config", help="Model configuration JSON file")
+
+    # Logging
+    parser.add_argument("--log-level", choices=["DEBUG", "INFO", "WARN", "ERROR"],
+                        default="WARN", help="Logging verbosity level (default: WARN)")
+    parser.add_argument("--verbose", "-v", action="store_true",
+                        help="Verbose output (equivalent to --log-level INFO)")
+    return parser
+
+
+def parse_encoding_spec(spec: Optional[str], num_quantizers: int) -> Optional[Dict[str, str]]:
+    """Parse the per-layer encoding mini-DSL.
+
+    Supports shorthand ``S=rle,A=dense`` (expanded over all layers) and
+    explicit specs like ``S0=rle,S1=rle,A0=dense`` (reference 5412-5447).
+    """
+    if not spec:
+        return None
+    per_layer: Dict[str, str] = {}
+    half = num_quantizers // 2
+    for part in spec.split(","):
+        if "=" not in part:
+            continue
+        name, enc = (s.strip() for s in part.split("=", 1))
+        if enc not in ("rle", "dense"):
+            continue
+        if name in ("S", "A"):  # shorthand: apply to every layer of the group
+            for i in range(half):
+                per_layer[f"{name}{i}"] = enc
+        else:
+            per_layer[name] = enc
+    return per_layer or None
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    log_level = LogLevel(args.log_level)
+    if args.verbose:
+        log_level = LogLevel.INFO
+
+    # Default mode: pure NDJSON on stdout, empty stderr (reference 5349-5372).
+    default_mode = (
+        not args.all_outputs
+        and not args.evaluate
+        and not args.budget_report
+        and not args.verbose
+        and args.log_level == "WARN"
+        and not args.streaming
+    )
+    if not args.streaming and not args.ndjson_streaming:
+        args.ndjson_streaming = True
+
+    set_log_level(log_level)
+    set_default_mode(default_mode)
+    configure_quiet_external(default_mode)
+
+    if args.sample_rate != 22050 and args.resample is None:
+        logger.warn("--sample-rate is deprecated. Use --resample instead.")
+    if args.reconstruction:
+        logger.warn("--reconstruction is deprecated; reconstruction is enabled "
+                    "by default. Use --no-reconstruction to disable.")
+
+    logger.info(f"{BANNER} - MERT music-optimized codebook initialization")
+    logger.debug(f"Log level: {log_level.value}; default mode: {default_mode}")
+
+    # Model configuration: config file < CLI flags.
+    model_config: Dict = {}
+    if args.config:
+        with open(args.config) as f:
+            model_config = json.load(f)
+    model_config.update({
+        "semantic_dim": args.semantic_dim,
+        "acoustic_dim": args.acoustic_dim,
+        "codebook_size": args.codebook_size,
+        "num_quantizers": args.num_quantizers,
+        "n_mels": args.n_mels,
+        "hop_length": args.hop_length,
+    })
+
+    resample_rate = None
+    if args.resample is not None:
+        resample_rate = args.resample if args.resample > 0 else 22050
+
+    per_layer_encoding = parse_encoding_spec(args.encoding, args.num_quantizers)
+    if args.rle_semantic or args.dense_acoustic:
+        per_layer_encoding = per_layer_encoding or {}
+        half = args.num_quantizers // 2
+        if args.rle_semantic:
+            per_layer_encoding.update({f"S{i}": "rle" for i in range(half)})
+        if args.dense_acoustic:
+            per_layer_encoding.update({f"A{i}": "dense" for i in range(half)})
+
+    enable_reconstruction = not args.no_reconstruction
+    codebook_init_method = args.codebook_init
+    if args.use_encodec:
+        logger.warn("--use-encodec is deprecated. Use --codebook-init=encodec.")
+        codebook_init_method = "encodec"
+
+    from .runtime.pipeline import AudioTokenizationPipeline
+
+    pipeline = AudioTokenizationPipeline(
+        sample_rate=args.sample_rate,
+        model_config=model_config,
+        device=args.device,
+        enable_compat_fallback=args.compat_fallback,
+        resample_rate=resample_rate,
+        rle_mode=args.rle,
+        model_id=args.model_id,
+        per_layer_encoding=per_layer_encoding,
+        keyframe_interval_seconds=args.keyframe_interval,
+        include_legend=not args.no_legend,
+        enable_reconstruction=enable_reconstruction,
+        deterministic=args.deterministic,
+        deterministic_seed=args.seed,
+        codebook_cache_dir=args.codebook_cache_dir,
+        enable_codebook_cache=not args.no_codebook_cache,
+        force_reinit_codebooks=args.force_reinit_codebooks,
+        codebook_init_method=codebook_init_method,
+        max_length=args.max_length,
+    )
+
+    # -- input routing (reference 5482-5582) -------------------------------
+    input_files: List[str] = []
+    stdin_bytes: Optional[bytes] = None
+
+    if args.stdin:
+        raw = read_stdin_bytes()
+        if looks_like_text(raw):
+            text = raw.decode(errors="ignore")
+            input_files = [ln.strip() for ln in text.splitlines() if ln.strip()]
+            logger.debug(f"Read {len(input_files)} file paths from stdin")
+        else:
+            stdin_bytes = raw
+            logger.debug(f"Read {len(stdin_bytes)} bytes from stdin (binary fallback)")
+    elif has_piped_stdin():
+        stdin_bytes = read_stdin_bytes()
+        logger.debug(f"Read {len(stdin_bytes) if stdin_bytes else 0} bytes from stdin")
+
+    if args.input_files:
+        input_files.extend(args.input_files)
+
+    if not input_files and stdin_bytes is None:
+        logger.info("No input provided. Entering interactive mode...")
+        logger.info("Paste/enter data, press Ctrl+D to process (Ctrl+C to cancel)")
+
+        def _sigint(_signum, _frame):
+            logger.info("Cancelled by user")
+            sys.exit(0)
+
+        signal.signal(signal.SIGINT, _sigint)
+        try:
+            stdin_bytes = read_stdin_bytes()
+        except KeyboardInterrupt:
+            logger.info("Cancelled by user")
+            return 0
+        except EOFError:
+            stdin_bytes = b""
+
+    if not input_files and not stdin_bytes:
+        parser.error("No input provided. Specify input files as arguments, pipe "
+                     "data to stdin, or use --stdin for file paths.")
+
+    temp_files: List[str] = []
+    if stdin_bytes:
+        chunks = split_fs_chunks(stdin_bytes)
+        logger.debug(f"Prepared {len(chunks)} chunk(s) from stdin (FS-aware)")
+        temp_files = chunks_to_temp_files(chunks)
+        input_files.extend(temp_files)
+
+    try:
+        return _execute(args, parser, pipeline, input_files,
+                        default_mode, enable_reconstruction)
+    finally:
+        cleanup_temp_files(temp_files)
+
+
+def _execute(args, parser, pipeline, input_files: List[str],
+             default_mode: bool, enable_reconstruction: bool) -> int:
+    multi_input = len(input_files) > 1
+
+    # Case A: batch save-to-dir (explicit --all-outputs / --output-dir)
+    if (args.batch or multi_input) and (args.all_outputs or args.output_dir):
+        if not args.output_dir:
+            parser.error("--output-dir is required when using --all-outputs "
+                         "with multiple inputs")
+        results = pipeline.batch_process(
+            input_files, args.output_dir, args.format,
+            sequential_vis=args.seq_vis)
+        successful = [r for r in results if "error" not in r]
+        if args.metrics and successful:
+            agg: Dict[str, float] = {}
+            for key_source in ("metrics", "budget_metrics"):
+                for key in asdict(successful[0][key_source]):
+                    values = [asdict(r[key_source])[key] for r in successful
+                              if isinstance(asdict(r[key_source])[key], (int, float))]
+                    if values:
+                        agg[f"avg_{key}"] = sum(values) / len(values)
+                        agg[f"min_{key}"] = min(values)
+                        agg[f"max_{key}"] = max(values)
+            if pipeline.compat_mode:
+                agg["compat_mode"] = True
+                agg["warning"] = ("Metrics from compatibility mode - tokens not "
+                                  "from trained quantizers")
+            Path(args.metrics).write_text(json.dumps(agg, indent=2))
+        return 0
+
+    # Case B: multi-file sequential streaming to stdout
+    if multi_input:
+        for path in input_files:
+            result = pipeline.process_audio(
+                path, output_format=args.format,
+                enable_reconstruction=enable_reconstruction,
+                streaming_mode=args.streaming,
+                ndjson_streaming=args.ndjson_streaming)
+            if args.ndjson_streaming and result["ndjson_output"]:
+                output_text = result["ndjson_output"]
+            elif args.streaming and result["streaming_output"]:
+                output_text = result["streaming_output"]
+            else:
+                output_text = result["text_tokens"]
+            if output_text is not None:
+                if args.ndjson_streaming and not default_mode:
+                    with StreamLock(lock_stderr=True):
+                        logger.stdout(output_text)
+                else:
+                    logger.stdout(output_text)
+        return 0
+
+    # Case C: single input
+    result = pipeline.process_audio(
+        input_files[0], output_format=args.format,
+        enable_reconstruction=enable_reconstruction,
+        streaming_mode=args.streaming,
+        ndjson_streaming=args.ndjson_streaming)
+
+    output_text: Optional[str] = None
+    if args.all_outputs and args.output_dir:
+        os.makedirs(args.output_dir, exist_ok=True)
+        base = Path(input_files[0]).stem
+        out = Path(args.output_dir)
+        out.joinpath(f"{base}_tokens.txt").write_text(result["text_tokens"])
+        out.joinpath(f"{base}_tokens.json").write_text(result["json_tokens"])
+        if result["streaming_output"]:
+            out.joinpath(f"{base}_stream.txt").write_text(result["streaming_output"])
+        if result["ndjson_output"]:
+            out.joinpath(f"{base}_tokens.ndjson").write_text(result["ndjson_output"])
+        if result["reconstructed_audio"] is not None:
+            from .io.audio import write_wav
+
+            write_wav(str(out / f"{base}_reconstructed.wav"),
+                      result["reconstructed_audio"],
+                      result["metadata"]["sample_rate"])
+        logger.progress("Generating visualizations...")
+        try:
+            from .eval.visualize import generate_visualizations
+
+            viz = generate_visualizations(
+                result["original_audio"], result["tokenizer_result"],
+                args.output_dir, base,
+                sample_rate=result["metadata"]["sample_rate"],
+                sequential=args.seq_vis)
+            logger.info(f"Generated {len(viz)} visualization files")
+        except Exception as exc:
+            logger.warn(f"Visualization failed: {exc}")
+        logger.progress("Saving detailed analysis...")
+        try:
+            from .eval.analysis import save_detailed_analysis
+
+            analysis = save_detailed_analysis(
+                result["original_audio"], result["tokenizer_result"],
+                result["metrics"], args.output_dir, base,
+                sample_rate=result["metadata"]["sample_rate"])
+            logger.info(f"Generated {len(analysis)} analysis files")
+        except Exception as exc:
+            logger.warn(f"Analysis export failed: {exc}")
+        logger.info(f"All outputs saved to: {args.output_dir}")
+    elif args.ndjson_streaming and result["ndjson_output"]:
+        output_text = result["ndjson_output"]
+    elif args.streaming and result["streaming_output"]:
+        output_text = result["streaming_output"]
+    else:
+        output_text = result["text_tokens"]
+
+    if args.output:
+        if output_text is not None:
+            Path(args.output).write_text(output_text)
+    elif output_text is not None:
+        if args.ndjson_streaming and not default_mode:
+            with StreamLock(lock_stderr=True):
+                logger.stdout(output_text)
+        else:
+            logger.stdout(output_text)
+
+    if args.metrics:
+        metrics_data = {
+            **asdict(result["metrics"]),
+            **asdict(result["budget_metrics"]),
+        }
+        if pipeline.compat_mode:
+            metrics_data["compat_mode"] = True
+            metrics_data["warning"] = ("Metrics from compatibility mode - tokens "
+                                       "not from trained quantizers")
+        Path(args.metrics).write_text(json.dumps(metrics_data, indent=2))
+
+    if args.budget_report:
+        b = result["budget_metrics"]
+        logger.info("Token Budget Report:")
+        logger.info(f"  Total Tokens: {b.total_tokens}")
+        logger.info(f"  Semantic Tokens: {b.semantic_tokens}")
+        logger.info(f"  Acoustic Tokens: {b.acoustic_tokens}")
+        logger.info(f"  Audio Tokens/Second: {b.audio_tokens_per_second:.1f}")
+        logger.info(f"  Audio Frames/Second: {b.audio_frames_per_second:.1f}")
+        logger.info(f"  Processing Tokens/Second: {b.processing_tokens_per_second:.1f}")
+        logger.info(f"  Processing Frames/Second: {b.processing_frames_per_second:.1f}")
+        logger.info(f"  Compression Ratio: {b.compression_ratio:.1f}x")
+        if pipeline.compat_mode:
+            logger.warn("Compatibility mode - tokens are exploratory only")
+
+    if args.evaluate:
+        m = result["metrics"]
+        logger.info("Evaluation Results:")
+        logger.info(f"  Compression Ratio: {m.compression_ratio:.2f}x")
+        logger.info(f"  Token Diversity: {m.token_diversity:.3f}")
+        logger.info(f"  Semantic Entropy: {m.semantic_entropy:.3f}")
+        logger.info(f"  Acoustic Entropy: {m.acoustic_entropy:.3f}")
+        if enable_reconstruction and result["reconstructed_audio"] is not None:
+            logger.info(f"  MSE Loss: {m.mse_loss:.6f}")
+            logger.info(f"  Spectral Loss: {m.spectral_loss:.6f}")
+            logger.info(f"  MR-STFT Loss: {m.mr_stft_loss:.6f}")
+            logger.info(f"  Log Spectral Distance: {m.log_spectral_distance:.6f}")
+            logger.info(f"  Pitch Accuracy: {m.pitch_accuracy:.3f}")
+            logger.info(f"  Rhythm Accuracy: {m.rhythm_accuracy:.3f}")
+            logger.info(f"  Timbral Similarity: {m.timbral_similarity:.3f}")
+        if pipeline.compat_mode:
+            logger.warn("Evaluation in compatibility mode - results are "
+                        "exploratory only")
+    return 0
+
+
+def entrypoint() -> None:
+    sys.exit(main())
+
+
+if __name__ == "__main__":
+    entrypoint()

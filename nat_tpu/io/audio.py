@@ -1,0 +1,214 @@
+"""Native audio decoding (host-side).
+
+The reference delegates decoding to librosa/torchaudio/soundfile
+(neural_audio_tokenizer.py:4722-4836).  None of those ship native decoders we
+can rely on here, so this module implements the container parsing itself:
+
+* RIFF/WAVE: integer PCM 8/16/24/32-bit, IEEE float32/64, WAVE_FORMAT_EXTENSIBLE,
+  a-law/mu-law, arbitrary channel counts (mixed down to mono like librosa's
+  ``mono=True`` default).
+* AU/SND (Sun audio): PCM and mu-law.
+* Last-resort raw fallback: reinterpret arbitrary bytes as 16-bit little-endian
+  PCM at 22050 Hz, mirroring the reference's terminal fallback (4745-4762).
+
+Decoding is pure numpy — zero-copy `frombuffer` views wherever alignment
+permits — and returns float32 in [-1, 1].
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..utils.logging import logger
+
+RAW_FALLBACK_SR = 22050
+
+# -- companding tables (computed once, ITU G.711) ---------------------------
+
+
+def _mulaw_table() -> np.ndarray:
+    u = np.arange(256, dtype=np.uint8)
+    u = ~u & 0xFF
+    sign = np.where(u & 0x80, -1.0, 1.0)
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = ((mantissa.astype(np.int32) << 3) + 0x84) << exponent
+    return (sign * (magnitude - 0x84) / 32768.0).astype(np.float32)
+
+
+def _alaw_table() -> np.ndarray:
+    a = np.arange(256, dtype=np.uint8) ^ 0x55
+    sign = np.where(a & 0x80, -1.0, 1.0)
+    exponent = (a >> 4) & 0x07
+    mantissa = (a & 0x0F).astype(np.int32)
+    magnitude = np.where(
+        exponent == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+    )
+    return (sign * magnitude / 32768.0).astype(np.float32)
+
+
+_MULAW = _mulaw_table()
+_ALAW = _alaw_table()
+
+
+def _pcm_to_float(raw: bytes, bits: int, fmt: int) -> np.ndarray:
+    """Convert interleaved PCM bytes to float32 samples in [-1, 1]."""
+    if fmt == 3:  # IEEE float
+        dtype = np.float32 if bits == 32 else np.float64
+        return np.frombuffer(raw, dtype="<" + dtype().dtype.char).astype(np.float32)
+    if fmt == 6:  # a-law
+        return _ALAW[np.frombuffer(raw, dtype=np.uint8)]
+    if fmt == 7:  # mu-law
+        return _MULAW[np.frombuffer(raw, dtype=np.uint8)]
+    if bits == 8:  # unsigned
+        return (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    if bits == 16:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8)
+        n = len(b) // 3
+        b = b[: n * 3].reshape(n, 3)
+        val = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        val = np.where(val & 0x800000, val - (1 << 24), val)
+        return val.astype(np.float32) / 8388608.0
+    if bits == 32:
+        return np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    raise ValueError(f"Unsupported PCM bit depth: {bits}")
+
+
+def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE byte string into (mono float32 audio, sample_rate)."""
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("Not a RIFF/WAVE stream")
+
+    fmt_code: Optional[int] = None
+    channels = 1
+    sample_rate = RAW_FALLBACK_SR
+    bits = 16
+    payload: Optional[bytes] = None
+
+    pos = 12
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + chunk_size]
+        if chunk_id == b"fmt " and len(body) >= 16:
+            fmt_code, channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_code == 0xFFFE and len(body) >= 40:  # EXTENSIBLE: real fmt in GUID
+                (fmt_code,) = struct.unpack_from("<H", body, 24)
+        elif chunk_id == b"data":
+            payload = body
+        pos += 8 + chunk_size + (chunk_size & 1)  # chunks are word-aligned
+
+    if fmt_code is None or payload is None:
+        raise ValueError("WAVE stream missing fmt/data chunk")
+    if fmt_code not in (1, 3, 6, 7):
+        raise ValueError(f"Unsupported WAVE format code {fmt_code}")
+
+    samples = _pcm_to_float(payload, bits, fmt_code)
+    if channels > 1:
+        n = len(samples) // channels
+        samples = samples[: n * channels].reshape(n, channels).mean(axis=1)
+    return np.ascontiguousarray(samples, dtype=np.float32), int(sample_rate)
+
+
+def decode_au(data: bytes) -> Tuple[np.ndarray, int]:
+    """Parse a Sun AU/SND byte string."""
+    if len(data) < 24 or data[:4] != b".snd":
+        raise ValueError("Not an AU stream")
+    offset, _size, encoding, sample_rate, channels = struct.unpack_from(">IIIII", data, 4)
+    payload = data[offset:]
+    if encoding == 1:
+        samples = _MULAW[np.frombuffer(payload, dtype=np.uint8)]
+    elif encoding == 2:
+        samples = np.frombuffer(payload, dtype=">i1").astype(np.float32) / 128.0
+    elif encoding == 3:
+        samples = np.frombuffer(payload, dtype=">i2").astype(np.float32) / 32768.0
+    elif encoding == 5:
+        samples = np.frombuffer(payload, dtype=">i4").astype(np.float32) / 2147483648.0
+    elif encoding == 6:
+        samples = np.frombuffer(payload, dtype=">f4").astype(np.float32)
+    elif encoding == 7:
+        samples = np.frombuffer(payload, dtype=">f8").astype(np.float32)
+    else:
+        raise ValueError(f"Unsupported AU encoding {encoding}")
+    if channels > 1:
+        n = len(samples) // channels
+        samples = samples[: n * channels].reshape(n, channels).mean(axis=1)
+    return np.ascontiguousarray(samples, dtype=np.float32), int(sample_rate)
+
+
+def decode_raw_pcm16(data: bytes, sample_rate: int = RAW_FALLBACK_SR) -> Tuple[np.ndarray, int]:
+    """Reinterpret arbitrary bytes as 16-bit LE PCM — the terminal fallback."""
+    usable = len(data) - (len(data) % 2)
+    samples = np.frombuffer(data[:usable], dtype="<i2").astype(np.float32) / 32768.0
+    return samples, sample_rate
+
+
+def decode_bytes(data: bytes, allow_raw_fallback: bool = True) -> Tuple[np.ndarray, int]:
+    """Decode audio bytes by sniffing the container, with raw-PCM fallback."""
+    head = data[:16]
+    try:
+        if head[:4] == b"RIFF":
+            return decode_wav(data)
+        if head[:4] == b".snd":
+            return decode_au(data)
+    except Exception as exc:
+        logger.warn(f"Container decode failed ({exc}); falling back to raw PCM")
+        if not allow_raw_fallback:
+            raise
+    if head[:4] in (b"fLaC", b"OggS") or head[:3] == b"ID3" or head[4:8] == b"ftyp":
+        compressed = {b"fLaC": "FLAC", b"OggS": "OGG"}.get(head[:4], None)
+        name = compressed or ("MP3" if head[:3] == b"ID3" else "M4A")
+        if not allow_raw_fallback:
+            raise ValueError(f"{name} decoding requires an external decoder")
+        logger.warn(
+            f"{name} input detected but no native {name} decoder is available; "
+            "interpreting as raw 16-bit PCM (expect noise)"
+        )
+    return decode_raw_pcm16(data)
+
+
+def load_audio_file(path: str, allow_raw_fallback: bool = True) -> Tuple[np.ndarray, int]:
+    """Load an audio file from disk into (mono float32, sample_rate)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data:
+        raise ValueError(f"Empty audio file: {path}")
+    return decode_bytes(data, allow_raw_fallback=allow_raw_fallback)
+
+
+def peak_normalize(audio: np.ndarray, eps: float = 1e-8) -> np.ndarray:
+    """Peak-normalize to [-1, 1] like the reference load path (4785)."""
+    peak = float(np.max(np.abs(audio))) if audio.size else 0.0
+    if peak > eps:
+        return (audio / peak).astype(np.float32)
+    return audio.astype(np.float32)
+
+
+def encode_wav_pcm16(audio: np.ndarray, sample_rate: int) -> bytes:
+    """Encode mono float32 audio to a 16-bit PCM WAV byte string."""
+    clipped = np.clip(audio, -1.0, 1.0)
+    pcm = (clipped * 32767.0).astype("<i2").tobytes()
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 1,
+        sample_rate, sample_rate * 2, 2, 16, b"data", len(pcm),
+    )
+    return header + pcm
+
+
+def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
+    with open(path, "wb") as f:
+        f.write(encode_wav_pcm16(audio, sample_rate))

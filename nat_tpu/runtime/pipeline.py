@@ -1,0 +1,359 @@
+"""End-to-end audio → token-stream pipeline (host orchestration).
+
+TPU-native counterpart of reference `AudioTokenizationPipeline`
+(neural_audio_tokenizer.py:4527-5144).  Differences by design:
+
+* audio decode is the native :mod:`nat_tpu.io.audio` parser (no
+  librosa/torchaudio/soundfile chain);
+* the neural path is a functional JAX model — parameters are an explicit
+  pytree, tokenization is a jitted pure function with static-shape bucketing
+  (see :mod:`nat_tpu.runtime.bucketing`) instead of per-file dynamic shapes;
+* "lazy init on first forward" is replaced by an explicit ``ensure_model()``
+  phase (codebook seeding/caching happens there, not mid-forward);
+* graceful degradation ladder preserved: neural-path construction failure
+  falls back to the compat tokenizer with a warning, per-file batch errors
+  are captured, and raw-PCM is the terminal decode fallback.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from dataclasses import asdict
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..eval.budget import TokenBudgetMeter
+from ..eval.metrics import TokenizationEvaluator
+from ..io import audio as audio_io
+from ..models.compat import CompatTokenizer
+from ..stream.formatter import TokenFormatter
+from ..stream.protocol import StreamingProtocol
+from ..utils.logging import logger
+from ..utils.memory import check_memory_requirements
+from ..version import VERSION
+
+
+class AudioTokenizationPipeline:
+    """Orchestrates load → tokenize → meter → evaluate → serialize."""
+
+    def __init__(
+        self,
+        sample_rate: int = 22050,
+        model_config: Optional[Dict[str, Any]] = None,
+        device: str = "auto",
+        enable_compat_fallback: bool = False,
+        resample_rate: Optional[int] = None,
+        rle_mode: bool = False,
+        model_id: str = f"tims-ears-{VERSION}.mert",
+        per_layer_encoding: Optional[Dict[str, str]] = None,
+        keyframe_interval_seconds: float = 5.0,
+        include_legend: bool = True,
+        enable_reconstruction: bool = True,
+        use_encodec_bridge: bool = False,
+        deterministic: bool = False,
+        deterministic_seed: int = 42,
+        codebook_cache_dir: Optional[str] = None,
+        enable_codebook_cache: bool = True,
+        force_reinit_codebooks: bool = False,
+        codebook_init_method: str = "mert",
+        max_length: Optional[int] = None,
+    ) -> None:
+        self.sample_rate = resample_rate or sample_rate
+        self.model_config = dict(model_config or {})
+        self.device_spec = device
+        self.resample_rate = resample_rate
+        self.rle_mode = rle_mode
+        self.model_id = model_id
+        self.include_legend = include_legend
+        self.enable_reconstruction = enable_reconstruction
+        self.deterministic = deterministic
+        self.deterministic_seed = deterministic_seed
+        self.codebook_cache_dir = codebook_cache_dir
+        self.enable_codebook_cache = enable_codebook_cache
+        self.force_reinit_codebooks = force_reinit_codebooks
+        self.codebook_init_method = codebook_init_method
+        self.max_length = max_length
+        self._temp_files: List[str] = []
+
+        hop_length = self.model_config.get("hop_length", 512)
+        codebook_size = self.model_config.get("codebook_size", 1024)
+        num_quantizers = self.model_config.get("num_quantizers", 8)
+        self.num_semantic_layers = num_quantizers // 2
+        self.num_acoustic_layers = num_quantizers // 2
+
+        # -- tokenizer construction (graceful ladder) ----------------------
+        self.compat_mode = enable_compat_fallback
+        self.tokenizer = None
+        if not self.compat_mode:
+            try:
+                self.tokenizer = self._create_neural_tokenizer()
+            except Exception as exc:  # degraded mode, reference 4598-4604
+                logger.warn(
+                    f"Neural tokenizer unavailable ({type(exc).__name__}: {exc}); "
+                    "falling back to compatibility mode")
+                self.compat_mode = True
+        if self.compat_mode:
+            self.tokenizer = CompatTokenizer(
+                self.sample_rate,
+                num_semantic_layers=self.num_semantic_layers,
+                num_acoustic_layers=self.num_acoustic_layers,
+                seed=deterministic_seed if deterministic else None,
+            )
+            logger.warn("RUNNING IN COMPATIBILITY MODE - tokens are not from "
+                        "trained quantizers")
+
+        self.evaluator = TokenizationEvaluator(self.sample_rate)
+        self.formatter = TokenFormatter()
+        self.streaming = StreamingProtocol(
+            sample_rate=self.sample_rate,
+            hop_length=hop_length,
+            rle_mode=rle_mode,
+            model_id=model_id,
+            codebook_size=codebook_size,
+            num_semantic_layers=self.num_semantic_layers,
+            num_acoustic_layers=self.num_acoustic_layers,
+            per_layer_encoding=per_layer_encoding,
+            keyframe_interval_seconds=keyframe_interval_seconds,
+            include_legend=include_legend,
+            compat_mode=self.compat_mode,
+        )
+        self.budget_meter = TokenBudgetMeter(self.sample_rate, hop_length)
+
+        logger.info(f"Initialized nat-tpu pipeline {VERSION} "
+                    f"(model_id={model_id}, rle={rle_mode}, "
+                    f"compat={self.compat_mode})")
+
+    # ------------------------------------------------------------------
+    def _create_neural_tokenizer(self):
+        from ..models.tokenizer import NeuralAudioTokenizer
+
+        tok = NeuralAudioTokenizer(
+            sample_rate=self.sample_rate,
+            semantic_dim=self.model_config.get("semantic_dim", 512),
+            acoustic_dim=self.model_config.get("acoustic_dim", 512),
+            codebook_size=self.model_config.get("codebook_size", 4096),
+            num_quantizers=self.model_config.get("num_quantizers", 8),
+            n_mels=self.model_config.get("n_mels", 128),
+            hop_length=self.model_config.get("hop_length", 512),
+            enable_reconstruction=self.enable_reconstruction,
+            codebook_init_method=self.codebook_init_method,
+            codebook_cache_dir=self.codebook_cache_dir,
+            enable_codebook_cache=self.enable_codebook_cache,
+            force_reinit_codebooks=self.force_reinit_codebooks,
+            deterministic=self.deterministic,
+            seed=self.deterministic_seed,
+        )
+        tok.ensure_initialized()
+        return tok
+
+    # ------------------------------------------------------------------
+    def load_audio(self, file_path: str,
+                   target_length: Optional[int] = None) -> Tuple[np.ndarray, int]:
+        """Load, optionally resample, peak-normalize, optionally pad/trim."""
+        if not Path(file_path).exists():
+            raise FileNotFoundError(f"Audio file not found: {file_path}")
+        audio, sr = audio_io.load_audio_file(file_path)
+
+        if self.resample_rate and sr != self.resample_rate:
+            from ..dsp import resample as dsp_resample
+
+            audio = dsp_resample.resample_poly(audio, sr, self.resample_rate)
+            sr = self.resample_rate
+
+        audio = audio_io.peak_normalize(audio)
+
+        target_length = target_length or self.max_length
+        if target_length:
+            if len(audio) > target_length:
+                audio = audio[:target_length]
+            elif len(audio) < target_length:
+                audio = np.pad(audio, (0, target_length - len(audio)))
+        return audio, sr
+
+    @staticmethod
+    def _audio_sha256(audio: np.ndarray) -> str:
+        return hashlib.sha256(audio.astype(np.float32).tobytes()).hexdigest()
+
+    # ------------------------------------------------------------------
+    def process_audio(
+        self,
+        file_path: str,
+        output_format: str = "hierarchical",
+        enable_reconstruction: Optional[bool] = None,
+        streaming_mode: bool = False,
+        ndjson_streaming: bool = False,
+    ) -> Dict[str, Any]:
+        logger.info(f"Processing: {file_path}")
+        start_time = time.time()
+        self.budget_meter.reset()
+
+        audio, sr = self.load_audio(file_path)
+        duration = len(audio) / sr
+        logger.info(f"Loaded audio: {len(audio)} samples, {sr} Hz, {duration:.2f}s")
+
+        if not check_memory_requirements(len(audio), sr):
+            logger.warn("May not have sufficient memory for processing this file")
+
+        audio_hash = self._audio_sha256(audio)
+        self.streaming.ndjson_streamer.audio_sha256 = audio_hash
+
+        logger.info("Tokenizing...")
+        encode_start = time.time()
+        result = self.tokenizer(audio[None, :], actual_sample_rate=sr)
+        encoding_time = time.time() - encode_start
+
+        semantic_codes = result["semantic_codes"]
+        acoustic_codes = result["acoustic_codes"]
+        reconstructed = result.get("reconstructed")
+        num_frames = int(result.get("num_frames", 0))
+
+        num_sem = sum(int(np.asarray(c).size) for c in semantic_codes)
+        num_acc = sum(int(np.asarray(c).size) for c in acoustic_codes)
+        self.budget_meter.sample_rate = sr
+        self.budget_meter.update(len(audio), num_frames, num_sem, num_acc)
+        logger.info(f"Total tokens: {num_sem + num_acc}")
+
+        logger.progress("Evaluating tokenization quality...")
+        self.evaluator.sample_rate = sr
+        recon_np = None
+        if reconstructed is not None:
+            recon_np = np.asarray(reconstructed).reshape(-1)
+        metrics = self.evaluator.evaluate_tokenization(
+            audio, self.tokenizer, recon_np, precomputed_result=result,
+            encoding_time=encoding_time)
+
+        text_tokens = self.formatter.to_text_sequence(
+            semantic_codes, acoustic_codes, output_format)
+        budget_metrics = self.budget_meter.get_metrics()
+
+        json_metadata = {
+            "file_path": file_path,
+            "sample_rate": sr,
+            "processing_sample_rate": self.sample_rate,
+            "duration": duration,
+            "processing_time": time.time() - start_time,
+            "budget_metrics": asdict(budget_metrics),
+            "audio_sha256": audio_hash,
+            "model_id": self.model_id,
+            "frames_per_second": budget_metrics.audio_frames_per_second,
+            "hop_ms": (self.model_config.get("hop_length", 512) / sr) * 1000.0,
+            "num_frames": num_frames,
+            "compat_mode": self.compat_mode,
+        }
+        json_tokens = self.formatter.to_json(
+            semantic_codes, acoustic_codes, metadata=json_metadata)
+
+        streaming_output = None
+        ndjson_output = None
+        if streaming_mode:
+            header = self.streaming.create_stream_header(sr, len(audio))
+            chunk = self.streaming.create_chunk_marker(0, len(audio), result)
+            footer = self.streaming.create_stream_footer(
+                {**asdict(metrics), **asdict(budget_metrics)})
+            streaming_output = f"{header}\n{chunk}\n{footer}"
+        if ndjson_streaming:
+            ndjson_output = self.streaming.create_ndjson_stream(
+                result,
+                metadata={
+                    "file_path": file_path,
+                    "sample_rate": sr,
+                    "processing_sample_rate": self.sample_rate,
+                    "duration": duration,
+                    "audio_sha256": audio_hash,
+                    "model_id": self.model_id,
+                    "compat_mode": self.compat_mode,
+                },
+                processing_stats={**asdict(metrics), **asdict(budget_metrics)},
+                duration_seconds=duration,
+                include_legend=self.include_legend,
+            )
+
+        total_time = time.time() - start_time
+        logger.info(f"Processing complete in {total_time:.2f}s")
+
+        # Post-process reconstruction: DC removal + tanh soft limiting
+        # (reference 5003-5009).
+        reconstructed_audio = None
+        if recon_np is not None:
+            r = recon_np - np.mean(recon_np)
+            reconstructed_audio = np.tanh(r * 0.95) * 0.95
+
+        return {
+            "semantic_codes": semantic_codes,
+            "acoustic_codes": acoustic_codes,
+            "text_tokens": text_tokens,
+            "json_tokens": json_tokens,
+            "streaming_output": streaming_output,
+            "ndjson_output": ndjson_output,
+            "reconstructed_audio": reconstructed_audio,
+            "metrics": metrics,
+            "budget_metrics": budget_metrics,
+            "processing_time": total_time,
+            "original_audio": audio,
+            "tokenizer_result": result,
+            "metadata": {
+                "file_path": file_path,
+                "sample_rate": sr,
+                "processing_sample_rate": self.sample_rate,
+                "duration": duration,
+                "device": self.device_spec,
+                "compat_mode": self.compat_mode,
+                "audio_sha256": audio_hash,
+                "model_id": self.model_id,
+            },
+        }
+
+    # ------------------------------------------------------------------
+    def batch_process(
+        self,
+        input_paths: List[str],
+        output_dir: str,
+        output_format: str = "hierarchical",
+        sequential_vis: bool = False,
+    ) -> List[Dict]:
+        """Process many files, saving all artifacts; one bad file never kills
+        the run (per-file error capture, reference 5137-5139)."""
+        import json as _json
+        import os
+
+        os.makedirs(output_dir, exist_ok=True)
+        results: List[Dict] = []
+        for path in input_paths:
+            try:
+                result = self.process_audio(
+                    path, output_format=output_format,
+                    ndjson_streaming=True, streaming_mode=False)
+                base = Path(path).stem
+                out = Path(output_dir)
+                (out / f"{base}_tokens.txt").write_text(result["text_tokens"])
+                (out / f"{base}_tokens.json").write_text(result["json_tokens"])
+                if result["ndjson_output"]:
+                    (out / f"{base}_tokens.ndjson").write_text(result["ndjson_output"])
+                if result["reconstructed_audio"] is not None:
+                    audio_io.write_wav(
+                        str(out / f"{base}_reconstructed.wav"),
+                        result["reconstructed_audio"],
+                        result["metadata"]["sample_rate"])
+                metrics_data = {
+                    **asdict(result["metrics"]),
+                    **asdict(result["budget_metrics"]),
+                }
+                (out / f"{base}_metrics.json").write_text(
+                    _json.dumps(metrics_data, indent=2))
+                try:
+                    from ..eval.visualize import generate_visualizations
+
+                    generate_visualizations(
+                        result["original_audio"], result["tokenizer_result"],
+                        str(out), base, sample_rate=result["metadata"]["sample_rate"],
+                        sequential=sequential_vis)
+                except Exception as exc:
+                    logger.warn(f"Visualization failed for {path}: {exc}")
+                results.append(result)
+            except Exception as exc:
+                logger.error(f"Failed to process {path}: {exc}")
+                results.append({"file_path": path, "error": str(exc)})
+        return results

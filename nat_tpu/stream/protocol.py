@@ -1,0 +1,229 @@
+"""Streaming protocol: RLE change detection, keyframes, stream assembly.
+
+Counterpart of reference `StreamingProtocol` (neural_audio_tokenizer.py:
+4330-4520) with the per-frame Python compare loop replaced by vectorized
+numpy change detection: layer-change masks and keyframe schedules for the
+whole stream are computed in one shot, and the Python loop only touches
+frames that actually emit events (a large win on RLE streams where most
+frames are silent).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..version import VERSION
+from .ndjson import NDJSONStreamer
+
+
+class StreamingProtocol:
+    """Wraps an :class:`NDJSONStreamer` with change detection + keyframes."""
+
+    def __init__(
+        self,
+        chunk_size: int = 8192,
+        overlap: int = 1024,
+        sample_rate: int = 22050,
+        hop_length: int = 512,
+        rle_mode: bool = False,
+        model_id: str = f"tims-ears-{VERSION}.epoch",
+        codebook_size: int = 1024,
+        num_semantic_layers: int = 4,
+        num_acoustic_layers: int = 4,
+        per_layer_encoding: Optional[Dict[str, str]] = None,
+        keyframe_interval_seconds: float = 5.0,
+        audio_sha256: Optional[str] = None,
+        include_legend: bool = True,
+        compat_mode: bool = False,
+    ) -> None:
+        self.chunk_size = chunk_size
+        self.overlap = overlap
+        self.rle_mode = rle_mode
+        self.keyframe_interval_seconds = keyframe_interval_seconds
+        self.include_legend = include_legend
+        self.compat_mode = compat_mode
+
+        if per_layer_encoding is None and rle_mode:
+            # Smart defaults: slow-moving semantic layers compress well under
+            # RLE; acoustic layers churn every frame, keep them dense.
+            per_layer_encoding = {f"S{i}": "rle" for i in range(num_semantic_layers)}
+            per_layer_encoding.update(
+                {f"A{i}": "dense" for i in range(num_acoustic_layers)})
+
+        self.ndjson_streamer = NDJSONStreamer(
+            sample_rate=sample_rate,
+            hop_length=hop_length,
+            model_id=model_id,
+            codebook_size=codebook_size,
+            num_semantic_layers=num_semantic_layers,
+            num_acoustic_layers=num_acoustic_layers,
+            rle_mode=rle_mode,
+            per_layer_encoding=per_layer_encoding,
+            keyframe_interval_seconds=keyframe_interval_seconds,
+            audio_sha256=audio_sha256,
+            compat_mode=compat_mode,
+        )
+
+    # -- vectorized helpers --------------------------------------------------
+    @staticmethod
+    def _stack_codes(codes: List[np.ndarray]) -> np.ndarray:
+        """Stack per-layer [B, T] (or [T]) code arrays into int32 [L, T],
+        truncating to the shortest layer (reference takes min over layers)."""
+        rows = []
+        min_t = min(int(np.asarray(c).shape[-1]) for c in codes)
+        for c in codes:
+            arr = np.asarray(c)
+            row = arr[0] if arr.ndim > 1 else arr
+            rows.append(row[:min_t])
+        return np.stack(rows).astype(np.int64)
+
+    def _keyframe_schedule(self, num_frames: int, frame_dur_ms: float) -> np.ndarray:
+        """Boolean [T] mask of keyframe positions.
+
+        Replicates the reference's stateful rule (emit when
+        ``t - last_keyframe_t >= interval``, starting from 0.0, 4442-4450)
+        without per-frame Python state.
+        """
+        mask = np.zeros(num_frames, dtype=bool)
+        if not self.rle_mode or num_frames == 0:
+            return mask
+        interval_ms = self.keyframe_interval_seconds * 1000.0
+        last = 0.0
+        t = np.arange(num_frames) * frame_dur_ms
+        # The schedule is data-independent (uniform frame spacing), so the
+        # stateful walk collapses to a stride; keep the loop for exactness on
+        # float accumulation but over keyframes only (~duration/interval).
+        idx = 0
+        while idx < num_frames:
+            nxt = np.searchsorted(t, last + interval_ms, side="left")
+            if nxt >= num_frames:
+                break
+            mask[nxt] = True
+            last = float(t[nxt])
+            idx = nxt + 1
+        return mask
+
+    # -- main entry ----------------------------------------------------------
+    def create_ndjson_stream(
+        self,
+        tokens: Dict,
+        metadata: Optional[dict] = None,
+        processing_stats: Optional[dict] = None,
+        duration_seconds: Optional[float] = None,
+        include_legend: bool = True,
+    ) -> str:
+        """Assemble the full NDJSON stream for one file's token arrays."""
+        streamer = self.ndjson_streamer
+        lines = [streamer.create_header(duration_seconds, metadata, include_legend)]
+
+        sem_codes = tokens.get("semantic_codes") or []
+        acc_codes = tokens.get("acoustic_codes") or []
+        if sem_codes and acc_codes:
+            sem = self._stack_codes(sem_codes)  # [Ls, T]
+            acc = self._stack_codes(acc_codes)  # [La, T]
+            num_frames = min(sem.shape[1], acc.shape[1])
+            sem, acc = sem[:, :num_frames], acc[:, :num_frames]
+
+            streamer.reset()
+            frame_dur = streamer.frame_duration_ms
+
+            if not self.rle_mode:
+                # Dense fast path: build all frame lines without streamer state.
+                ts = np.arange(num_frames) * frame_dur
+                dur = round(frame_dur, 3)
+                sem_l = sem.T.tolist()
+                acc_l = acc.T.tolist()
+                for fi in range(num_frames):
+                    lines.append(json.dumps(
+                        {"event": "frame", "fi": fi, "ts": round(float(ts[fi]), 3),
+                         "dur": dur, "S": sem_l[fi], "A": acc_l[fi]},
+                        separators=(",", ":")))
+            else:
+                # Vectorized change masks: layer differs from previous frame.
+                changed_s = np.ones_like(sem, dtype=bool)
+                changed_a = np.ones_like(acc, dtype=bool)
+                changed_s[:, 1:] = sem[:, 1:] != sem[:, :-1]
+                changed_a[:, 1:] = acc[:, 1:] != acc[:, :-1]
+                keyframes = self._keyframe_schedule(num_frames, frame_dur)
+                any_change = changed_s.any(axis=0) | changed_a.any(axis=0)
+                emit = any_change | keyframes
+                emit_frames = np.nonzero(emit)[0]
+
+                for fi in emit_frames:
+                    fi = int(fi)
+                    time_ms = fi * frame_dur
+                    if keyframes[fi]:
+                        # A keyframe flushes without the change-branch
+                        # extension; fold the skipped unchanged frames into
+                        # the buffered run first (the reference walks every
+                        # frame so its buffer is already extended to fi-1).
+                        if streamer.buffered_event is not None:
+                            elapsed = (fi - 1) - streamer.last_frame_index
+                            if elapsed > 0:
+                                streamer.buffered_event["dur"] += elapsed * frame_dur
+                                streamer.last_frame_index = fi - 1
+                        out = streamer.create_frame(
+                            fi, time_ms, sem[:, fi].tolist(), acc[:, fi].tolist(),
+                            is_keyframe=True)
+                    else:
+                        changed = [f"S{i}" for i in np.nonzero(changed_s[:, fi])[0]]
+                        changed += [f"A{i}" for i in np.nonzero(changed_a[:, fi])[0]]
+                        out = streamer.create_frame(
+                            fi, time_ms, sem[:, fi].tolist(), acc[:, fi].tolist(),
+                            changed_layers=changed)
+                    if out:
+                        lines.append(out)
+                # Account for trailing unchanged frames in buffered duration.
+                if streamer.buffered_event is not None and num_frames:
+                    tail = (num_frames - 1) - streamer.last_frame_index
+                    if tail > 0:
+                        streamer.buffered_event["dur"] += tail * frame_dur
+                        streamer.last_frame_index = num_frames - 1
+
+        lines.append(streamer.create_end_marker(processing_stats))
+        return "\n".join(lines)
+
+    # -- legacy chunked text protocol (reference 4367-4412) -------------------
+    def create_stream_header(self, sample_rate: int, total_samples: int,
+                             metadata: Optional[dict] = None) -> str:
+        header = {
+            "stream_type": "neural_audio_tokens",
+            "version": "1.4",
+            "sample_rate": sample_rate,
+            "total_samples": total_samples,
+            "chunk_size": self.chunk_size,
+            "overlap": self.overlap,
+            "metadata": metadata or {},
+            "timestamp": time.time(),
+        }
+        if self.compat_mode:
+            header["compat_mode"] = True
+            header["warning"] = (
+                "Tokens generated in compatibility mode - not from trained quantizers"
+            )
+        return f"===STREAM_HEADER===\n{json.dumps(header)}\n===STREAM_START==="
+
+    def create_chunk_marker(self, chunk_idx: int, chunk_samples: int, tokens: Dict) -> str:
+        chunk_data = {
+            "chunk_index": chunk_idx,
+            "chunk_samples": chunk_samples,
+            "tokens": {
+                "semantic": [np.asarray(c).reshape(-1).astype(int).tolist()
+                             for c in tokens["semantic_codes"]],
+                "acoustic": [np.asarray(c).reshape(-1).astype(int).tolist()
+                             for c in tokens["acoustic_codes"]],
+            },
+        }
+        return f"===CHUNK_{chunk_idx}===\n{json.dumps(chunk_data)}\n===CHUNK_END==="
+
+    def create_stream_footer(self, processing_stats: Optional[dict] = None) -> str:
+        footer = {
+            "processing_complete": True,
+            "stats": processing_stats or {},
+            "timestamp": time.time(),
+        }
+        return f"===STREAM_FOOTER===\n{json.dumps(footer)}\n===STREAM_COMPLETE==="

@@ -1,0 +1,65 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+exercised without TPU hardware (the driver dry-runs the same way).  The env
+vars must be set before JAX is imported anywhere in the test process.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import numpy as np
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+FIXTURES = Path(__file__).resolve().parent / "fixtures"
+
+sys.path.insert(0, str(REPO_ROOT))
+
+
+def _ensure_fixture(path: Path, freq: float, duration_s: float, sr: int = 22050):
+    if path.exists():
+        return
+    from nat_tpu.io.audio import write_wav
+
+    t = np.arange(int(sr * duration_s)) / sr
+    write_wav(str(path), (np.sin(2 * np.pi * freq * t) * 0.5).astype(np.float32), sr)
+
+
+@pytest.fixture(scope="session")
+def simple_wav() -> Path:
+    FIXTURES.mkdir(exist_ok=True)
+    path = FIXTURES / "test_simple.wav"
+    _ensure_fixture(path, 440.0, 1.0)
+    return path
+
+
+@pytest.fixture(scope="session")
+def simple_wav2() -> Path:
+    FIXTURES.mkdir(exist_ok=True)
+    path = FIXTURES / "test_simple2.wav"
+    _ensure_fixture(path, 220.0, 2.0)
+    return path
+
+
+def run_cli(args, stdin_bytes: bytes = b"", timeout: int = 120):
+    """Run the CLI as a subprocess with CPU JAX, capturing streams separately."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # single virtual device is fine for CLI runs
+    cmd = [sys.executable, "-m", "nat_tpu"] + args
+    result = subprocess.run(
+        cmd, input=stdin_bytes, capture_output=True, timeout=timeout,
+        cwd=str(REPO_ROOT), env=env,
+    )
+    return result.returncode, result.stdout.decode(), result.stderr.decode()
+
+
+@pytest.fixture(scope="session")
+def cli():
+    return run_cli
