@@ -1,0 +1,69 @@
+"""Benchmark: audio-seconds tokenized per wall-clock second per chip (RTF).
+
+Runs the full neural dual-encoder path (wav2vec2-architecture semantic
+encoder + mel-conv acoustic encoder + fused Pallas RVQ) on synthetic audio,
+measures steady-state throughput after compilation, and prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no measured numbers (BASELINE.md); the
+driver target is >100× real-time per chip, so ``vs_baseline`` is RTF/100.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from nat_tpu.models.tokenizer import NeuralAudioTokenizer
+
+    sample_rate = 22050
+    chunk_seconds = 30.0
+    batch = 4
+    bucket = int(chunk_seconds * sample_rate)
+
+    tok = NeuralAudioTokenizer(
+        sample_rate=sample_rate,
+        codebook_size=4096,
+        enable_codebook_cache=False,
+        use_pretrained_semantic=True,   # random-init wav2vec2 if no checkpoint
+        codebook_init_method="random",
+        enable_reconstruction=False,    # tokenization throughput (the product path)
+    )
+    tok.ensure_initialized()
+    forward, t_target = tok._build_forward(bucket)
+
+    rng = np.random.default_rng(0)
+    wave = jax.numpy.asarray(
+        rng.standard_normal((batch, bucket)).astype(np.float32) * 0.3)
+    key = jax.random.PRNGKey(0)
+
+    # Warm-up / compile
+    out = forward(tok.params, tok.sem_rvq, tok.acc_rvq, wave, key)
+    jax.block_until_ready(out["semantic_codes"])
+
+    iters = 8
+    start = time.perf_counter()
+    for i in range(iters):
+        out = forward(tok.params, tok.sem_rvq, tok.acc_rvq, wave, key)
+    jax.block_until_ready(out["semantic_codes"])
+    elapsed = time.perf_counter() - start
+
+    audio_seconds = iters * batch * chunk_seconds
+    rtf = audio_seconds / elapsed
+    print(json.dumps({
+        "metric": "audio_seconds_tokenized_per_sec_per_chip",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

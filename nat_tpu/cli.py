@@ -272,6 +272,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         force_reinit_codebooks=args.force_reinit_codebooks,
         codebook_init_method=codebook_init_method,
         max_length=args.max_length,
+        model_path=args.model_path,
     )
 
     # -- input routing (reference 5482-5582) -------------------------------

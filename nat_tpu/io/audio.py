@@ -116,6 +116,14 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
     if fmt_code not in (1, 3, 6, 7):
         raise ValueError(f"Unsupported WAVE format code {fmt_code}")
 
+    if fmt_code == 1 and bits in (16, 24):
+        # Hot path: C++ decode+mixdown in one pass (Python fallback below).
+        from . import native as native_host
+
+        decoded = native_host.pcm_to_float_mono(payload, bits, channels)
+        if decoded is not None:
+            return np.ascontiguousarray(decoded), int(sample_rate)
+
     samples = _pcm_to_float(payload, bits, fmt_code)
     if channels > 1:
         n = len(samples) // channels

@@ -1,0 +1,121 @@
+"""ctypes bindings to the C++ host runtime (``native/libnat_host.so``).
+
+Builds the shared library on first use (g++, ~1 s) and caches it next to
+the source; every entry point degrades to the pure-Python implementation
+when the toolchain is unavailable, so the native layer is a transparent
+accelerator, never a hard dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..utils.logging import logger
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libnat_host.so"
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "-C", str(_NATIVE_DIR)], check=True,
+            capture_output=True, timeout=120)
+        return _LIB_PATH.exists()
+    except Exception as exc:
+        logger.debug(f"native build failed: {exc}")
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded library, building it on first call; None when unavailable
+    (or when NAT_TPU_NO_NATIVE=1)."""
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if os.environ.get("NAT_TPU_NO_NATIVE"):
+        return None
+    if not _LIB_PATH.exists() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.serialize_dense_frames.restype = ctypes.c_void_p
+        lib.serialize_dense_frames.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_size_t)]
+        lib.nat_free.argtypes = [ctypes.c_void_p]
+        lib.pcm16_to_float_mono.restype = ctypes.c_int64
+        lib.pcm16_to_float_mono.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.pcm24_to_float_mono.restype = ctypes.c_int64
+        lib.pcm24_to_float_mono.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.change_mask.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32)]
+        _lib = lib
+        logger.debug(f"native host runtime loaded: {_LIB_PATH}")
+    except Exception as exc:
+        logger.debug(f"native load failed: {exc}")
+    return _lib
+
+
+def serialize_dense_frames(sem: np.ndarray, acc: np.ndarray,
+                           frame_dur_ms: float) -> Optional[str]:
+    """C++ dense-frame NDJSON serialization; None → use the Python path."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sem = np.ascontiguousarray(sem, dtype=np.int32)
+    acc = np.ascontiguousarray(acc, dtype=np.int32)
+    num_frames = int(min(sem.shape[1], acc.shape[1]))
+    out_len = ctypes.c_size_t()
+    ptr = lib.serialize_dense_frames(
+        sem.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sem.shape[0],
+        acc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), acc.shape[0],
+        num_frames, float(frame_dur_ms), ctypes.byref(out_len))
+    if not ptr:
+        return None
+    try:
+        return ctypes.string_at(ptr, out_len.value).decode()
+    finally:
+        lib.nat_free(ptr)
+
+
+def pcm_to_float_mono(data: bytes, bits: int, channels: int) -> Optional[np.ndarray]:
+    """C++ PCM mixdown for 16/24-bit streams; None → Python path."""
+    lib = get_lib()
+    if lib is None or bits not in (16, 24):
+        return None
+    bytes_per = bits // 8
+    frames = len(data) // (bytes_per * channels)
+    out = np.empty(frames, dtype=np.float32)
+    fn = lib.pcm16_to_float_mono if bits == 16 else lib.pcm24_to_float_mono
+    n = fn(data, len(data), channels,
+           out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out[:n]
+
+
+def change_mask(codes: np.ndarray) -> Optional[np.ndarray]:
+    """Per-frame changed-layer bitmask for RLE; None → numpy path."""
+    lib = get_lib()
+    if lib is None or codes.shape[0] > 32:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    out = np.empty(codes.shape[1], dtype=np.uint32)
+    lib.change_mask(codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    codes.shape[0], codes.shape[1],
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out

@@ -1,0 +1,111 @@
+"""Acoustic + temporal feature encoders (flax).
+
+Counterparts of reference neural_audio_tokenizer.py:2224-2499, designed for
+TPU: NHWC/NTC layouts (XLA's preferred conv layouts), GroupNorm+GELU blocks
+fused by XLA, and strictly static shapes.  Channel counts stay multiples of
+128 where the reference allowed it so conv-as-matmul tiles the MXU cleanly.
+
+* :class:`MelResidualEncoder` — mel spectrogram → 6-layer 2-D conv stack
+  (stride 2 on the first 4 layers ⇒ time and frequency downsampled 16×),
+  1×1 projection, mean-pool over frequency → ``[B, T/16, D]``.
+* :class:`MultiScaleTemporalEncoder` — 5 parallel dilated-stride conv
+  branches at scales (1, 2, 4, 8, 16), each upsampled back to the input
+  length and fused with a 1×1 conv; length-preserving.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..dsp.stft import mel_spectrogram
+from ..ops.interp import interp_linear
+
+
+class ConvBlock2D(nn.Module):
+    """Conv → GroupNorm → GELU (NHWC)."""
+
+    features: int
+    kernel: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                    padding="SAME")(x)
+        x = nn.GroupNorm(num_groups=min(self.groups, self.features))(x)
+        return nn.gelu(x)
+
+
+class MelResidualEncoder(nn.Module):
+    """Mel-spectrogram convolutional acoustic encoder.
+
+    Input: waveform ``[B, T_samples]`` (+ static sample_rate); output
+    features ``[B, T_mel/16, output_dim]``.
+    """
+
+    output_dim: int = 512
+    n_mels: int = 128
+    n_fft: int = 2048
+    hop_length: int = 512
+    sample_rate: int = 22050
+    channels: Sequence[int] = (32, 64, 128, 256, 512, 512)
+
+    @nn.compact
+    def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
+        mel = mel_spectrogram(
+            waveform, sample_rate=self.sample_rate, n_fft=self.n_fft,
+            hop_length=self.hop_length, n_mels=self.n_mels,
+            normalized=True)                         # [B, n_mels, T]
+        x = jnp.log(mel + 1e-5)
+        x = jnp.transpose(x, (0, 2, 1))[..., None]    # NHWC: [B, T, n_mels, 1]
+
+        for i, ch in enumerate(self.channels):
+            strides = (2, 2) if i < 4 else (1, 1)
+            x = ConvBlock2D(ch, strides=strides)(x)   # time,freq /16 total
+
+        x = nn.Conv(self.output_dim, (1, 1))(x)       # 1×1 projection
+        return jnp.mean(x, axis=2)                    # pool freq → [B, T/16, D]
+
+
+class ConvBlock1D(nn.Module):
+    """Conv1d → GroupNorm → GELU (NTC layout)."""
+
+    features: int
+    kernel: int
+    strides: int = 1
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.features, (self.kernel,), strides=(self.strides,),
+                    padding="SAME")(x)
+        x = nn.GroupNorm(num_groups=min(self.groups, self.features))(x)
+        return nn.gelu(x)
+
+
+class MultiScaleTemporalEncoder(nn.Module):
+    """Parallel multi-resolution temporal conv branches, length-preserving.
+
+    Input/output ``[B, T, input_dim]``.
+    """
+
+    input_dim: int = 512
+    scales: Sequence[int] = (1, 2, 4, 8, 16)
+    branch_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        t = x.shape[1]
+        branches = []
+        for s in self.scales:
+            b = ConvBlock1D(self.branch_dim, kernel=2 * s + 1, strides=s)(x)
+            b = ConvBlock1D(self.branch_dim, kernel=3)(b)
+            # back to the input time base
+            b = jnp.swapaxes(interp_linear(jnp.swapaxes(b, 1, 2), t), 1, 2)
+            branches.append(b)
+        fused = jnp.concatenate(branches, axis=-1)
+        return nn.Conv(self.input_dim, (1,))(fused)

@@ -1,0 +1,357 @@
+"""The neural audio tokenizer: dual-encoder → dual-RVQ → token layers.
+
+Counterpart of reference `NeuralAudioTokenizer` (neural_audio_tokenizer.py:
+2927-3311), rebuilt as a functional JAX model:
+
+* parameters are an explicit pytree created in :meth:`ensure_initialized`
+  (no lazy init inside forward — codebook seeding, weight conversion, and
+  compilation all happen in the init phase);
+* the jitted forward is pure and static-shaped; host code buckets/pads the
+  waveform (:mod:`nat_tpu.runtime.bucketing`) and slices valid frames out;
+* both RVQ stacks run the fused Pallas kernel on TPU (argmin mode) or the
+  XLA path (stochastic / CPU);
+* time-base alignment preserves the reference's behavior by default
+  (``timebase='compat'``: both streams interpolated to
+  ``min(T_semantic, T_acoustic)``, which the acoustic /16 conv stack
+  dominates — the documented frame-rate quirk, SURVEY.md §2.6), with
+  ``timebase='frame'`` emitting tokens at the header-advertised
+  ``sr/hop`` rate instead;
+* long inputs are processed in fixed 30 s chunks and concatenated
+  (SURVEY.md §5.7) so attention cost stays bounded and shapes static.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp.resample import resample_jax, resample_output_length
+from ..dsp.stft import num_frames as stft_num_frames
+from ..ops.interp import interp_linear
+from ..quant import seeding
+from ..quant.rvq import RVQState, rvq_decode, rvq_encode
+from ..utils.logging import logger
+from ..runtime.bucketing import bucket_length, chunk_spans
+from .decoder import ReconstructionDecoder
+from .encoders import MelResidualEncoder, MultiScaleTemporalEncoder
+from .semantic import (SemanticAudioEncoder, SpectralFallbackEncoder,
+                      feature_extractor_output_length,
+                      load_pretrained_semantic_params)
+
+SEMANTIC_SR = 16000
+
+
+class NeuralAudioTokenizer:
+    """Dual-path neural tokenizer with explicit init / pure forward."""
+
+    def __init__(
+        self,
+        sample_rate: int = 22050,
+        semantic_dim: int = 512,
+        acoustic_dim: int = 512,
+        codebook_size: int = 4096,
+        num_quantizers: int = 8,
+        n_mels: int = 128,
+        hop_length: int = 512,
+        enable_reconstruction: bool = True,
+        codebook_init_method: str = "mert",
+        codebook_cache_dir: Optional[str] = None,
+        enable_codebook_cache: bool = True,
+        force_reinit_codebooks: bool = False,
+        deterministic: bool = True,
+        seed: int = 42,
+        stochastic: bool = False,
+        temperature: float = 0.5,
+        timebase: str = "compat",
+        use_pretrained_semantic: bool = True,
+        use_pallas: Optional[bool] = None,
+    ) -> None:
+        self.sample_rate = sample_rate
+        self.semantic_dim = semantic_dim
+        self.acoustic_dim = acoustic_dim
+        self.codebook_size = codebook_size
+        self.num_quantizers = num_quantizers
+        self.num_semantic_layers = num_quantizers // 2
+        self.num_acoustic_layers = num_quantizers - self.num_semantic_layers
+        self.n_mels = n_mels
+        self.hop_length = hop_length
+        self.enable_reconstruction = enable_reconstruction
+        self.codebook_init_method = codebook_init_method
+        self.codebook_cache_dir = codebook_cache_dir
+        self.enable_codebook_cache = enable_codebook_cache
+        self.force_reinit_codebooks = force_reinit_codebooks
+        self.deterministic = deterministic
+        self.seed = seed
+        self.stochastic = stochastic
+        self.temperature = temperature
+        self.timebase = timebase
+        self.use_pretrained_semantic = use_pretrained_semantic
+        if use_pallas is None:
+            use_pallas = any(d.platform not in ("cpu",) for d in jax.devices())
+        self.use_pallas = use_pallas and not stochastic
+
+        # Modules (architecture only; params live in self.params)
+        self.mel_encoder = MelResidualEncoder(
+            output_dim=acoustic_dim, n_mels=n_mels, hop_length=hop_length,
+            sample_rate=sample_rate)
+        self.temporal_semantic = MultiScaleTemporalEncoder(input_dim=semantic_dim)
+        self.temporal_acoustic = MultiScaleTemporalEncoder(input_dim=acoustic_dim)
+        self.decoder = ReconstructionDecoder()
+        self.semantic_encoder: Any = None   # chosen in ensure_initialized
+        self.semantic_fallback = False
+
+        self.params: Optional[Dict] = None
+        self.sem_rvq: Optional[RVQState] = None
+        self.acc_rvq: Optional[RVQState] = None
+        self._forward_cache: Dict[int, Any] = {}
+        self._rng = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------
+    # Initialization phase
+    # ------------------------------------------------------------------
+    def ensure_initialized(self) -> None:
+        if self.params is not None:
+            return
+        rng = jax.random.PRNGKey(self.seed)
+        r_mel, r_sem, r_ts, r_ta, r_dec, r_fb = jax.random.split(rng, 6)
+        # Minimal init shapes: params are shape-independent of the time axis,
+        # and jitting each init compiles one program instead of dozens of
+        # eager per-op programs (init was ~30× slower unjitted).
+        init_samples = max(4 * 2048, 8192)
+        dummy = jnp.zeros((1, init_samples), dtype=jnp.float32)
+        dummy16 = jnp.zeros(
+            (1, resample_output_length(init_samples, self.sample_rate,
+                                       SEMANTIC_SR)), dtype=jnp.float32)
+
+        params: Dict[str, Any] = {}
+        params["mel_encoder"] = jax.jit(self.mel_encoder.init)(
+            r_mel, dummy)["params"]
+
+        pretrained = (load_pretrained_semantic_params()
+                      if self.use_pretrained_semantic else None)
+        if pretrained is not None:
+            self.semantic_encoder = SemanticAudioEncoder(
+                output_dim=self.semantic_dim)
+            init_params = jax.jit(self.semantic_encoder.init)(
+                r_sem, dummy16)["params"]
+            init_params.update(pretrained)
+            params["semantic_encoder"] = init_params
+            logger.info("Semantic encoder: pretrained wav2vec2-base weights")
+        else:
+            if self.use_pretrained_semantic:
+                logger.warn("wav2vec2 checkpoint unavailable; using spectral "
+                            "fallback semantic encoder")
+            self.semantic_encoder = SpectralFallbackEncoder(
+                output_dim=self.semantic_dim)
+            self.semantic_fallback = True
+            params["semantic_encoder"] = jax.jit(self.semantic_encoder.init)(
+                r_fb, dummy16)["params"]
+
+        t_dummy = jnp.zeros((1, 64, self.semantic_dim), dtype=jnp.float32)
+        params["temporal_semantic"] = jax.jit(self.temporal_semantic.init)(
+            r_ts, t_dummy)["params"]
+        params["temporal_acoustic"] = jax.jit(self.temporal_acoustic.init)(
+            r_ta, t_dummy)["params"]
+        if self.enable_reconstruction:
+            d_dummy = jnp.zeros(
+                (1, 64, self.semantic_dim + self.acoustic_dim), jnp.float32)
+            params["decoder"] = jax.jit(
+                self.decoder.init, static_argnums=2)(
+                    r_dec, d_dummy, 256)["params"]
+        self.params = params
+
+        # Codebook seeding (explicit, cached; reference seeds 42 / 123)
+        common = dict(
+            method=self.codebook_init_method,
+            codebook_size=self.codebook_size,
+            cache_dir=self.codebook_cache_dir,
+            use_cache=self.enable_codebook_cache,
+            force_reinit=self.force_reinit_codebooks,
+        )
+        sem_cb = seeding.seed_codebooks(
+            extraction_type="semantic", num_layers=self.num_semantic_layers,
+            input_dim=self.semantic_dim, seed=self.seed, **common)
+        acc_cb = seeding.seed_codebooks(
+            extraction_type="acoustic", num_layers=self.num_acoustic_layers,
+            input_dim=self.acoustic_dim, seed=self.seed + 81, **common)
+        self.sem_rvq = RVQState(
+            jnp.asarray(sem_cb), jnp.zeros(sem_cb.shape[:2]),
+            jnp.asarray(sem_cb).copy())
+        self.acc_rvq = RVQState(
+            jnp.asarray(acc_cb), jnp.zeros(acc_cb.shape[:2]),
+            jnp.asarray(acc_cb).copy())
+
+    # ------------------------------------------------------------------
+    # Shape arithmetic (host-side, exact)
+    # ------------------------------------------------------------------
+    def _acoustic_frames(self, samples: int) -> int:
+        t_mel = stft_num_frames(samples, 2048, self.hop_length, center=True)
+        return -(-t_mel // 16)  # four stride-2 convs with SAME padding
+
+    def _semantic_frames(self, samples: int) -> int:
+        t16 = resample_output_length(samples, self.sample_rate, SEMANTIC_SR)
+        if self.semantic_fallback:
+            return t16 // 320 + 1
+        return feature_extractor_output_length(t16)
+
+    def _target_frames(self, samples: int) -> int:
+        if self.timebase == "frame":
+            return max(samples // self.hop_length, 1)
+        return max(min(self._semantic_frames(samples),
+                       self._acoustic_frames(samples)), 1)
+
+    # ------------------------------------------------------------------
+    # Jitted forward (per bucket length)
+    # ------------------------------------------------------------------
+    def _build_forward(self, bucket: int):
+        t_target = self._target_frames(bucket)
+        out_samples = t_target * self.hop_length
+        reconstruct = self.enable_reconstruction
+        stochastic = self.stochastic
+        use_pallas = self.use_pallas
+
+        @jax.jit
+        def forward(params, sem_rvq: RVQState, acc_rvq: RVQState,
+                    waveform: jnp.ndarray, rng: jax.Array):
+            wave16 = resample_jax(waveform, self.sample_rate, SEMANTIC_SR)
+            sem_feats = self.semantic_encoder.apply(
+                {"params": params["semantic_encoder"]}, wave16)  # [B, Ts, D]
+            acc_feats = self.mel_encoder.apply(
+                {"params": params["mel_encoder"]}, waveform)     # [B, Ta, D]
+
+            sem_feats = self.temporal_semantic.apply(
+                {"params": params["temporal_semantic"]}, sem_feats)
+            acc_feats = self.temporal_acoustic.apply(
+                {"params": params["temporal_acoustic"]}, acc_feats)
+
+            # Align both streams to the target time base ([B, T, D] →
+            # interpolate along T via the channel-last transpose trick).
+            def align(f):
+                return jnp.swapaxes(
+                    interp_linear(jnp.swapaxes(f, 1, 2), t_target), 1, 2)
+
+            sem_a, acc_a = align(sem_feats), align(acc_feats)
+
+            rng_s, rng_a = jax.random.split(rng)
+            if use_pallas and not stochastic:
+                from ..ops.rvq_pallas import rvq_encode_pallas
+
+                sem_codes, sem_q = rvq_encode_pallas(sem_rvq, sem_a)
+                acc_codes, acc_q = rvq_encode_pallas(acc_rvq, acc_a)
+                losses = {"total_vq_loss": jnp.float32(0.0)}
+            else:
+                sem_codes, sem_q, sem_losses = rvq_encode(
+                    sem_rvq, sem_a, temperature=self.temperature,
+                    stochastic=stochastic, rng=rng_s)
+                acc_codes, acc_q, acc_losses = rvq_encode(
+                    acc_rvq, acc_a, temperature=self.temperature,
+                    stochastic=stochastic, rng=rng_a)
+                losses = {
+                    "semantic_vq_loss": sem_losses["total_vq_loss"],
+                    "acoustic_vq_loss": acc_losses["total_vq_loss"],
+                    "total_vq_loss": (sem_losses["total_vq_loss"]
+                                      + acc_losses["total_vq_loss"]),
+                }
+
+            reconstructed = None
+            if reconstruct:
+                joint = jnp.concatenate([sem_q, acc_q], axis=-1)
+                reconstructed = self.decoder.apply(
+                    {"params": params["decoder"]}, joint, out_samples)
+                recon_loss = jnp.mean(
+                    (reconstructed - waveform[:, :out_samples]) ** 2)
+                losses = dict(losses, reconstruction_loss=recon_loss)
+
+            return {
+                "semantic_codes": sem_codes,      # [N, B, Tt]
+                "acoustic_codes": acc_codes,
+                "semantic_features": jnp.swapaxes(sem_a, 1, 2),  # [B, D, Tt]
+                "acoustic_features": jnp.swapaxes(acc_a, 1, 2),
+                "reconstructed": reconstructed,
+                "losses": losses,
+            }
+
+        return forward, t_target
+
+    def _forward_for(self, bucket: int):
+        if bucket not in self._forward_cache:
+            self._forward_cache[bucket] = self._build_forward(bucket)
+        return self._forward_cache[bucket]
+
+    # ------------------------------------------------------------------
+    # Public host API (reference-shaped result dict)
+    # ------------------------------------------------------------------
+    def __call__(self, waveform, actual_sample_rate: Optional[int] = None) -> Dict:
+        self.ensure_initialized()
+        wave = np.atleast_2d(np.asarray(waveform, dtype=np.float32))
+        if actual_sample_rate and actual_sample_rate != self.sample_rate:
+            # Model graphs are compiled for self.sample_rate; retune.
+            self.sample_rate = actual_sample_rate
+            self.mel_encoder = MelResidualEncoder(
+                output_dim=self.acoustic_dim, n_mels=self.n_mels,
+                hop_length=self.hop_length, sample_rate=actual_sample_rate)
+            self._forward_cache.clear()
+
+        spans = chunk_spans(wave.shape[-1], self.sample_rate)
+        sem_parts: List[np.ndarray] = []
+        acc_parts: List[np.ndarray] = []
+        recon_parts: List[np.ndarray] = []
+        losses: Dict[str, float] = {}
+        for start, length in spans:
+            chunk = wave[:, start:start + length]
+            bucket = bucket_length(length, self.sample_rate)
+            if length < bucket:
+                chunk = np.pad(chunk, ((0, 0), (0, bucket - length)))
+            forward, t_target_bucket = self._forward_for(bucket)
+            self._rng, rng = jax.random.split(self._rng)
+            out = forward(self.params, self.sem_rvq, self.acc_rvq,
+                          jnp.asarray(chunk), rng)
+            valid_t = self._target_frames(length)
+            sem_parts.append(np.asarray(out["semantic_codes"])[:, :, :valid_t])
+            acc_parts.append(np.asarray(out["acoustic_codes"])[:, :, :valid_t])
+            if out["reconstructed"] is not None:
+                valid_samples = min(valid_t * self.hop_length, length)
+                recon_parts.append(
+                    np.asarray(out["reconstructed"])[:, :valid_samples])
+            losses = {k: float(v) for k, v in out["losses"].items()}
+            last_out = out
+
+        sem_codes = np.concatenate(sem_parts, axis=-1)
+        acc_codes = np.concatenate(acc_parts, axis=-1)
+        reconstructed = (np.concatenate(recon_parts, axis=-1)
+                         if recon_parts else None)
+        t_total = sem_codes.shape[-1]
+        return {
+            "semantic_codes": [sem_codes[i] for i in range(sem_codes.shape[0])],
+            "acoustic_codes": [acc_codes[i] for i in range(acc_codes.shape[0])],
+            "losses": losses,
+            "reconstructed": reconstructed,
+            "semantic_features": np.asarray(last_out["semantic_features"]),
+            "acoustic_features": np.asarray(last_out["acoustic_features"]),
+            "num_frames": int(t_total),
+        }
+
+    def eval(self) -> "NeuralAudioTokenizer":
+        return self
+
+    # -- encode/decode API parity (reference 3291-3311) -----------------
+    def encode(self, waveform, actual_sample_rate: Optional[int] = None) -> Dict:
+        return self(waveform, actual_sample_rate)
+
+    def decode_tokens(self, semantic_codes: List, acoustic_codes: List):
+        """Token layers → waveform via RVQ decode + reconstruction decoder."""
+        self.ensure_initialized()
+        if not self.enable_reconstruction:
+            raise ValueError("decode_tokens requires enable_reconstruction")
+        sem = jnp.stack([jnp.asarray(c) for c in semantic_codes])
+        acc = jnp.stack([jnp.asarray(c) for c in acoustic_codes])
+        sem_q = rvq_decode(self.sem_rvq, sem)
+        acc_q = rvq_decode(self.acc_rvq, acc)
+        joint = jnp.concatenate([sem_q, acc_q], axis=-1)
+        out_samples = sem.shape[-1] * self.hop_length
+        return np.asarray(self.decoder.apply(
+            {"params": self.params["decoder"]}, joint, out_samples))

@@ -1,0 +1,163 @@
+"""Fused Pallas TPU kernel for the residual-VQ chain.
+
+The hot loop of tokenization (SURVEY.md §3.3: 8× cdist against 4096×512
+codebooks per frame) fused into ONE kernel invocation per time-tile:
+
+* grid = (time_tiles, layers, codebook_chunks) with the codebook streamed
+  through VMEM in ``[KC, D]`` chunks by the Pallas pipeline (automatic
+  double-buffering of the HBM→VMEM DMA);
+* the residual, per-layer running argmin, and quantized sum live in VMEM
+  scratch that persists across the sequential (layer, chunk) grid steps —
+  the chain never round-trips to HBM;
+* distances are ``|r|² − 2·r·chunkᵀ + |chunk|²`` (MXU matmul) and the
+  selected vectors are gathered with a one-hot matmul (MXU again) — no
+  scatter/gather ops, which TPUs hate;
+* per-layer token outputs are ``[M, 1]`` int32 columns (Mosaic requires the
+  last two block dims divisible by (8, 128) or equal to the array dims —
+  a ``[N, M]`` layout with 1-row blocks is not lowerable), stacked to
+  ``[N, B, T]`` by the wrapper.
+
+Equivalent to :func:`nat_tpu.quant.rvq.rvq_encode` with ``stochastic=False``;
+parity is asserted in tests (interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.rvq import RVQState
+
+TILE_M = 256          # frames per tile
+CHUNK_K = 512         # codebook rows streamed per grid step
+
+
+def _rvq_kernel(n_layers, x_ref, cb_ref, *refs):
+    codes_refs = refs[:n_layers]
+    qsum_ref = refs[n_layers]
+    residual, run_min, run_idx, run_vec = refs[n_layers + 1:]
+
+    n = pl.program_id(1)
+    c = pl.program_id(2)
+    num_chunks = pl.num_programs(2)
+
+    @pl.when((n == 0) & (c == 0))
+    def _():
+        residual[:] = x_ref[:]
+        qsum_ref[:] = jnp.zeros_like(qsum_ref)
+
+    @pl.when(c == 0)
+    def _():
+        run_min[:] = jnp.full_like(run_min, jnp.inf)
+        run_idx[:] = jnp.zeros_like(run_idx)
+        run_vec[:] = jnp.zeros_like(run_vec)
+
+    chunk = cb_ref[0]                                   # [KC, D]
+    r = residual[:]                                     # [TM, D]
+    r_sq = jnp.sum(r * r, axis=1, keepdims=True)        # [TM, 1]
+    c_sq = jnp.sum(chunk * chunk, axis=1)[None, :]      # [1, KC]
+    # HIGHEST keeps the MXU in float32-accurate mode: token identity is
+    # sensitive to distance rounding (bf16 inputs flip ~1% of argmins).
+    cross = jnp.dot(r, chunk.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    dist = r_sq - 2.0 * cross + c_sq                    # [TM, KC]
+
+    cmin = jnp.min(dist, axis=1, keepdims=True)         # [TM, 1]
+    local_idx = jnp.argmin(dist, axis=1)[:, None]       # [TM, 1]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+              == local_idx).astype(jnp.float32)
+    # One-hot gather must be float32-exact (sums of zeros + one row).
+    cvec = jnp.dot(onehot, chunk, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+    better = cmin < run_min[:]                          # [TM, 1]
+    run_vec[:] = jnp.where(better, cvec, run_vec[:])
+    run_idx[:] = jnp.where(better, local_idx + c * CHUNK_K, run_idx[:])
+    run_min[:] = jnp.where(better, cmin, run_min[:])
+
+    @pl.when(c == num_chunks - 1)
+    def _():
+        residual[:] = residual[:] - run_vec[:]
+        qsum_ref[:] = qsum_ref[:] + run_vec[:]
+
+    for li in range(n_layers):
+        @pl.when((n == li) & (c == num_chunks - 1))
+        def _(li=li):
+            codes_refs[li][:] = run_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rvq_pallas_flat(codebook: jnp.ndarray, x: jnp.ndarray,
+                     interpret: bool = False):
+    """codebook [N, K, D], x [M, D] (M multiple of TILE_M) →
+    (codes [N, M], qsum [M, D])."""
+    n_layers, k, d = codebook.shape
+    m = x.shape[0]
+    assert m % TILE_M == 0 and k % CHUNK_K == 0
+    grid = (m // TILE_M, n_layers, k // CHUNK_K)
+
+    outs = pl.pallas_call(
+        functools.partial(_rvq_kernel, n_layers),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_M, d), lambda i, n, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK_K, d), lambda i, n, c: (n, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            *[pl.BlockSpec((TILE_M, 1), lambda i, n, c: (i, 0),
+                           memory_space=pltpu.VMEM)
+              for _ in range(n_layers)],
+            pl.BlockSpec((TILE_M, d), lambda i, n, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            *[jax.ShapeDtypeStruct((m, 1), jnp.int32)
+              for _ in range(n_layers)],
+            jax.ShapeDtypeStruct((m, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_M, d), jnp.float32),   # residual
+            pltpu.VMEM((TILE_M, 1), jnp.float32),   # running min
+            pltpu.VMEM((TILE_M, 1), jnp.int32),     # running argmin
+            pltpu.VMEM((TILE_M, d), jnp.float32),   # running vector
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * m * n_layers * k * d,  # distance + gather matmuls
+            bytes_accessed=(m * d * 4) + (n_layers * k * d * 4) + (m * d * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, codebook)
+    codes = jnp.concatenate([o.T for o in outs[:n_layers]], axis=0)  # [N, M]
+    return codes, outs[n_layers]
+
+
+def rvq_encode_pallas(
+    state: RVQState,
+    x: jnp.ndarray,          # [B, T, D]
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused argmin RVQ encode: ``[B, T, D]`` → (codes [N, B, T],
+    quantized [B, T, D]).  Pads the time axis to the tile size; padding
+    frames quantize to garbage that is sliced off before returning."""
+    b, t, d = x.shape
+    m = b * t
+    m_pad = -(-m // TILE_M) * TILE_M
+    flat = x.reshape(m, d)
+    if m_pad != m:
+        flat = jnp.pad(flat, ((0, m_pad - m), (0, 0)))
+    codes, qsum = _rvq_pallas_flat(state.codebook, flat, interpret=interpret)
+    n = state.num_layers
+    return (codes[:, :m].reshape(n, b, t),
+            qsum[:m].reshape(b, t, d))

@@ -1,0 +1,358 @@
+"""Codebook seeding: k-means, pretrained-weight extraction, fallbacks.
+
+Counterpart of reference neural_audio_tokenizer.py:608-1326 + the RVQ init
+methods (1448-2089):
+
+* :func:`kmeans_jax` — k-means(++), run **on device**: the assignment step is
+  the same ``[M, D] × [D, K]`` distance matmul as RVQ encoding, so seeding a
+  4096-way codebook over 100k vectors is MXU work instead of sklearn's
+  single-core loop.  Multi-strategy retries + validation + deterministic
+  geometric fallback mirror the reference's `RobustKMeansClusterer`.
+* :func:`extract_weight_matrices` — pulls 2-D weight matrices from a locally
+  available pretrained checkpoint (MERT / EnCodec via HF transformers, or a
+  raw ``state_dict``), filtered by name and layer index — late transformer
+  layers seed the *semantic* codebooks, early layers the *acoustic* ones
+  (reference 1215-1258).
+* :func:`seed_codebooks` — orchestrates: cache → extraction → PCA/pad to
+  ``input_dim`` → per-layer disjoint slices (or reseeded resampling) →
+  k-means refinement (optional) → cache write.  Entirely an explicit init
+  phase; nothing is lazily seeded mid-forward.
+
+With no checkpoint available (air-gapped hosts) the ladder ends in labeled
+deterministic Gaussian codebooks, matching the reference's degraded path
+(3097-3099).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.logging import logger
+from . import cache as cb_cache
+
+# ---------------------------------------------------------------------------
+# k-means (device-side)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_plus_plus_init(rng: np.random.Generator, x: np.ndarray,
+                           k: int) -> np.ndarray:
+    """k-means++ seeding on host (k sequential draws; cheap vs Lloyd)."""
+    m = x.shape[0]
+    centers = np.empty((k, x.shape[1]), dtype=x.dtype)
+    centers[0] = x[rng.integers(m)]
+    d2 = np.sum((x - centers[0]) ** 2, axis=1)
+    for i in range(1, k):
+        probs = d2 / max(d2.sum(), 1e-12)
+        centers[i] = x[rng.choice(m, p=probs)]
+        d2 = np.minimum(d2, np.sum((x - centers[i]) ** 2, axis=1))
+    return centers
+
+
+def kmeans_jax(
+    x: np.ndarray,
+    k: int,
+    num_iters: int = 25,
+    seed: int = 42,
+    init: str = "kmeans++",
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Lloyd's algorithm with jit-compiled assignment/update steps.
+
+    Returns ``(centroids [k, D], assignments [M], inertia)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = np.asarray(x, dtype=np.float32)
+    m, d = x.shape
+    rng = np.random.default_rng(seed)
+    if init == "kmeans++" and m > k:
+        centers0 = _kmeans_plus_plus_init(rng, x, k)
+    else:
+        centers0 = x[rng.permutation(m)[:k]] if m >= k else np.pad(
+            x, ((0, k - m), (0, 0)))
+
+    xj = jnp.asarray(x)
+
+    @jax.jit
+    def step(centers):
+        x_sq = jnp.sum(xj * xj, axis=1, keepdims=True)
+        c_sq = jnp.sum(centers * centers, axis=1)[None, :]
+        dist = x_sq - 2.0 * jnp.matmul(xj, centers.T,
+                                       preferred_element_type=jnp.float32) + c_sq
+        assign = jnp.argmin(dist, axis=1)
+        onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+        counts = jnp.sum(onehot, axis=0)
+        sums = jnp.matmul(onehot.T, xj, preferred_element_type=jnp.float32)
+        new_centers = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0),
+            centers)
+        inertia = jnp.sum(jnp.min(dist, axis=1))
+        return new_centers, assign, inertia
+
+    centers = jnp.asarray(centers0)
+    assign = None
+    inertia = np.inf
+    for _ in range(num_iters):
+        centers, assign, inertia = step(centers)
+    return (np.asarray(centers), np.asarray(assign), float(inertia))
+
+
+def _preprocess_features(x: np.ndarray, max_samples: int = 100_000,
+                         seed: int = 42) -> np.ndarray:
+    """Reference-style hygiene: drop non-finite rows, drop near-constant
+    features, subsample, standardize (612-940)."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x[np.all(np.isfinite(x), axis=1)]
+    if x.shape[0] == 0:
+        return x.astype(np.float32)
+    variances = np.var(x, axis=0)
+    keep = variances > 1e-8
+    if keep.any() and not keep.all():
+        # Zero (rather than drop) dead features so the dimensionality the
+        # codebooks need is preserved.
+        x = x * keep[None, :]
+    if x.shape[0] > max_samples:
+        rng = np.random.default_rng(seed)
+        x = x[rng.permutation(x.shape[0])[:max_samples]]
+    mean = x.mean(axis=0)
+    std = x.std(axis=0)
+    std[std < 1e-8] = 1.0
+    return ((x - mean) / std).astype(np.float32)
+
+
+def _validate_clusters(x: np.ndarray, centers: np.ndarray,
+                       assign: np.ndarray) -> bool:
+    """Cheap validation gates: enough used clusters, separated centroids."""
+    k = centers.shape[0]
+    used = len(np.unique(assign))
+    if used < max(2, k // 20):
+        return False
+    sample = centers[np.random.default_rng(0).permutation(k)[: min(k, 256)]]
+    dists = np.linalg.norm(sample[:, None] - sample[None, :], axis=-1)
+    np.fill_diagonal(dists, np.inf)
+    return float(np.min(dists)) > 1e-6
+
+
+def _geometric_fallback(k: int, d: int, seed: int) -> np.ndarray:
+    """Deterministic well-separated centroids (reference 915-940): points on
+    a scaled sphere with golden-angle-like spread."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((k, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-8
+    radii = (1.0 + np.arange(k, dtype=np.float32) / k)[:, None]
+    return v * radii
+
+
+def robust_kmeans(
+    x: np.ndarray,
+    k: int,
+    seed: int = 42,
+    max_retries: int = 3,
+) -> np.ndarray:
+    """Multi-strategy k-means with validation and geometric fallback.
+
+    Retry seeds follow the reference's ``seed + retry*17 + strategy*7``
+    pattern (755-765) so repeated runs are deterministic.
+    """
+    x = _preprocess_features(x, seed=seed)
+    if x.shape[0] < k:
+        logger.warn(f"k-means: only {x.shape[0]} samples for {k} clusters; "
+                    "using geometric fallback")
+        return _geometric_fallback(k, x.shape[1] if x.size else 512, seed)
+    for retry in range(max_retries):
+        for strategy, init in enumerate(("kmeans++", "random")):
+            attempt_seed = seed + retry * 17 + strategy * 7
+            try:
+                centers, assign, _ = kmeans_jax(
+                    x, k, num_iters=25, seed=attempt_seed, init=init)
+                if _validate_clusters(x, centers, assign):
+                    return centers.astype(np.float32)
+            except Exception as exc:
+                logger.debug(f"k-means attempt failed: {exc}")
+    logger.warn("k-means failed validation after all retries; "
+                "using geometric fallback centroids")
+    return _geometric_fallback(k, x.shape[1], seed)
+
+
+# ---------------------------------------------------------------------------
+# Pretrained-weight extraction
+# ---------------------------------------------------------------------------
+
+_NAME_PATTERNS = ("embed", "codebook", "q_proj", "k_proj", "v_proj",
+                  "query", "key", "value", "dense", "intermediate",
+                  "fc1", "fc2")
+
+# Layer-index selection (reference 1215-1258): late transformer layers carry
+# contextual/semantic structure; early layers carry local/acoustic structure.
+SEMANTIC_LAYER_RANGE = (9, 12)
+ACOUSTIC_LAYER_RANGE = (0, 3)
+
+
+def _layer_index(name: str) -> Optional[int]:
+    match = re.search(r"(?:layers?|layer)\.(\d+)\.", name)
+    return int(match.group(1)) if match else None
+
+
+def extract_weight_matrices(
+    state_dict: Dict[str, "np.ndarray"],
+    extraction_type: str = "semantic",
+    max_rows_per_matrix: int = 10_000,
+    seed: int = 42,
+) -> Optional[np.ndarray]:
+    """Collect row-vectors from 2-D weight matrices of a checkpoint.
+
+    ``state_dict`` maps names → arrays (torch tensors are converted).  Keeps
+    matrices whose names match attention/dense/embedding patterns and whose
+    layer index falls in the extraction range; rows are subsampled, grouped
+    by feature dim, and the largest-dim group wins (reference 1172-1326).
+    """
+    lo, hi = (SEMANTIC_LAYER_RANGE if extraction_type == "semantic"
+              else ACOUSTIC_LAYER_RANGE)
+    rng = np.random.default_rng(seed)
+    groups: Dict[int, List[np.ndarray]] = {}
+    for name, value in state_dict.items():
+        arr = np.asarray(getattr(value, "numpy", lambda: value)()
+                         if hasattr(value, "numpy") else value)
+        if arr.ndim != 2 or min(arr.shape) < 8:
+            continue
+        lname = name.lower()
+        if not any(p in lname for p in _NAME_PATTERNS):
+            continue
+        li = _layer_index(lname)
+        if li is not None and not (lo <= li <= hi):
+            continue
+        if li is None and "embed" not in lname and "codebook" not in lname:
+            continue
+        rows = arr if arr.shape[1] >= arr.shape[0] // 4 else arr.T
+        if rows.shape[0] > max_rows_per_matrix:
+            rows = rows[rng.permutation(rows.shape[0])[:max_rows_per_matrix]]
+        groups.setdefault(rows.shape[1], []).append(
+            rows.astype(np.float32, copy=False))
+    if not groups:
+        return None
+    best_dim = max(groups, key=lambda dim: dim)
+    return np.concatenate(groups[best_dim], axis=0)
+
+
+def _align_dim(vectors: np.ndarray, target_dim: int, seed: int) -> np.ndarray:
+    """PCA (SVD) down / zero-pad up to ``target_dim`` (reference 2011-2070)."""
+    m, d = vectors.shape
+    if d == target_dim:
+        return vectors
+    if d > target_dim:
+        centered = vectors - vectors.mean(axis=0, keepdims=True)
+        # SVD on the (possibly fat) matrix; project onto top components.
+        _, _, vt = np.linalg.svd(centered, full_matrices=False)
+        return (centered @ vt[:target_dim].T).astype(np.float32)
+    out = np.zeros((m, target_dim), dtype=np.float32)
+    out[:, :d] = vectors
+    return out
+
+
+def load_pretrained_state_dict(model_name: str) -> Optional[Dict]:
+    """Load a checkpoint's state_dict if locally available (no downloads)."""
+    try:
+        import transformers
+
+        auto = transformers.AutoModel
+        model = auto.from_pretrained(model_name, trust_remote_code=False,
+                                     local_files_only=True)
+        return dict(model.state_dict())
+    except Exception as exc:
+        logger.info(f"Pretrained checkpoint {model_name} unavailable "
+                    f"({type(exc).__name__}); seeding without it")
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+
+def seed_codebooks(
+    method: str,
+    extraction_type: str,
+    num_layers: int,
+    codebook_size: int,
+    input_dim: int,
+    seed: int = 42,
+    model_id: str = "nat-tpu",
+    model_name: Optional[str] = None,
+    cache_dir: Optional[Path] = None,
+    use_cache: bool = True,
+    force_reinit: bool = False,
+    features: Optional[np.ndarray] = None,
+    refine_with_kmeans: bool = False,
+) -> np.ndarray:
+    """Produce stacked codebooks ``[num_layers, codebook_size, input_dim]``.
+
+    methods: ``mert`` (default), ``encodec``, ``random``; the first two pull
+    weight matrices from their checkpoints when available.  ``features``
+    (optional ``[M, D]``) enables the legacy k-means path (reference
+    `initialize_from_encodec`, 1448-1565).
+    """
+    cache_dir = Path(cache_dir) if cache_dir else cb_cache.get_default_codebook_cache_dir()
+    key = cb_cache.get_codebook_cache_key(
+        f"{method}_{model_id}", codebook_size, num_layers, input_dim,
+        extraction_type)
+    if use_cache and not force_reinit:
+        cached = cb_cache.load_codebooks(
+            cache_dir, key, expect_shape=(num_layers, codebook_size, input_dim))
+        if cached is not None:
+            return cached[0]
+
+    vectors: Optional[np.ndarray] = None
+    if method in ("mert", "encodec") and features is None:
+        default_names = {"mert": "m-a-p/MERT-v1-95M",
+                         "encodec": "facebook/encodec_24khz"}
+        state_dict = load_pretrained_state_dict(
+            model_name or default_names[method])
+        if state_dict is not None:
+            vectors = extract_weight_matrices(
+                state_dict, extraction_type, seed=seed)
+    elif features is not None:
+        vectors = np.asarray(features, dtype=np.float32)
+        if refine_with_kmeans:
+            vectors = robust_kmeans(vectors, codebook_size, seed=seed)
+
+    codebook = np.empty((num_layers, codebook_size, input_dim), dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    if vectors is not None and vectors.shape[0] > 0:
+        vectors = _align_dim(vectors, input_dim, seed)
+        needed = num_layers * codebook_size
+        if vectors.shape[0] >= needed:
+            # Per-layer disjoint slices (reference 2060-2070)
+            perm = rng.permutation(vectors.shape[0])[:needed]
+            for i in range(num_layers):
+                codebook[i] = vectors[perm[i * codebook_size:(i + 1) * codebook_size]]
+        else:
+            # Reseeded resampling per layer (reference seed + i*123)
+            for i in range(num_layers):
+                layer_rng = np.random.default_rng(seed + i * 123)
+                idx = layer_rng.choice(vectors.shape[0], codebook_size,
+                                       replace=True)
+                jitter = layer_rng.standard_normal(
+                    (codebook_size, input_dim)).astype(np.float32) * 1e-3
+                codebook[i] = vectors[idx] + jitter
+        logger.info(f"Seeded {extraction_type} codebooks from {method} "
+                    f"({vectors.shape[0]} vectors)")
+    else:
+        if method != "random":
+            logger.warn(f"{method} seeding unavailable; using deterministic "
+                        "random codebooks")
+        for i in range(num_layers):
+            layer_rng = np.random.default_rng(seed + i * 123)
+            codebook[i] = layer_rng.standard_normal(
+                (codebook_size, input_dim)).astype(np.float32)
+
+    if use_cache:
+        cb_cache.save_codebooks(
+            cache_dir, key, codebook,
+            np.zeros((num_layers, codebook_size), dtype=np.float32),
+            codebook.copy(), force_reinit=force_reinit)
+    return codebook

@@ -60,6 +60,7 @@ class AudioTokenizationPipeline:
         force_reinit_codebooks: bool = False,
         codebook_init_method: str = "mert",
         max_length: Optional[int] = None,
+        model_path: Optional[str] = None,
     ) -> None:
         self.sample_rate = resample_rate or sample_rate
         self.model_config = dict(model_config or {})
@@ -76,7 +77,20 @@ class AudioTokenizationPipeline:
         self.force_reinit_codebooks = force_reinit_codebooks
         self.codebook_init_method = codebook_init_method
         self.max_length = max_length
+        self.model_path = model_path
         self._temp_files: List[str] = []
+
+        if device not in ("auto", None):
+            # Pin the JAX default platform ("cpu"/"tpu"); "cuda" maps to
+            # whatever accelerator backend is registered.
+            try:
+                import jax
+
+                target = {"cuda": "gpu"}.get(device, device)
+                jax.config.update("jax_platform_name", target)
+                logger.info(f"Pinned JAX platform: {target}")
+            except Exception as exc:
+                logger.warn(f"Could not pin device '{device}': {exc}")
 
         hop_length = self.model_config.get("hop_length", 512)
         codebook_size = self.model_config.get("codebook_size", 1024)
@@ -147,6 +161,10 @@ class AudioTokenizationPipeline:
             seed=self.deterministic_seed,
         )
         tok.ensure_initialized()
+        if self.model_path:
+            from .checkpoint import load_model
+
+            load_model(self.model_path, tok)
         return tok
 
     # ------------------------------------------------------------------

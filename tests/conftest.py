@@ -10,8 +10,14 @@ import subprocess
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax
+
+# The axon TPU plugin ignores JAX_PLATFORMS; pin the default platform so
+# unit tests are CPU-deterministic and see the 8 virtual devices.
+jax.config.update("jax_platform_name", "cpu")
 
 import numpy as np
 import pytest

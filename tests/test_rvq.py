@@ -1,0 +1,290 @@
+"""Tests for the RVQ core: numpy-reference parity, Pallas kernel parity,
+EMA updates, straight-through gradients, cache, and seeding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nat_tpu.quant import cache as cb_cache
+from nat_tpu.quant import seeding
+from nat_tpu.quant.rvq import (ResidualVectorQuantizer, RVQState,
+                               init_rvq_state, rvq_decode, rvq_encode,
+                               rvq_ema_update)
+
+
+def numpy_rvq_argmin(codebook: np.ndarray, x: np.ndarray):
+    """Straight-line numpy reference for the residual argmin chain."""
+    n, k, d = codebook.shape
+    b, t, _ = x.shape
+    flat = x.reshape(-1, d).astype(np.float64)
+    codes = np.zeros((n, flat.shape[0]), dtype=np.int64)
+    qsum = np.zeros_like(flat)
+    residual = flat.copy()
+    for i in range(n):
+        dist = ((residual[:, None, :] - codebook[i][None].astype(np.float64)) ** 2).sum(-1)
+        codes[i] = np.argmin(dist, axis=1)
+        chosen = codebook[i][codes[i]].astype(np.float64)
+        qsum += chosen
+        residual -= chosen
+    return codes.reshape(n, b, t), qsum.reshape(b, t, d)
+
+
+@pytest.fixture(scope="module")
+def small_state():
+    return init_rvq_state(jax.random.PRNGKey(0), num_layers=4,
+                          codebook_size=64, dim=16)
+
+
+@pytest.fixture(scope="module")
+def features():
+    rng = np.random.default_rng(3)
+    return rng.standard_normal((2, 37, 16)).astype(np.float32)
+
+
+class TestRvqEncode:
+    def test_argmin_matches_numpy_reference(self, small_state, features):
+        codes, quantized, losses = rvq_encode(
+            small_state, jnp.asarray(features), stochastic=False)
+        ref_codes, ref_qsum = numpy_rvq_argmin(
+            np.asarray(small_state.codebook), features)
+        np.testing.assert_array_equal(np.asarray(codes), ref_codes)
+        np.testing.assert_allclose(np.asarray(quantized), ref_qsum, atol=1e-4)
+
+    def test_decode_inverts_encode_quantized(self, small_state, features):
+        codes, quantized, _ = rvq_encode(small_state, jnp.asarray(features))
+        decoded = rvq_decode(small_state, codes)
+        np.testing.assert_allclose(np.asarray(decoded),
+                                   np.asarray(quantized), atol=1e-5)
+
+    def test_residual_reduces_error(self, small_state, features):
+        """Each layer must shrink the quantization error."""
+        x = jnp.asarray(features)
+        errors = []
+        for n in range(1, 5):
+            sub = RVQState(small_state.codebook[:n],
+                           small_state.ema_count[:n],
+                           small_state.ema_weight[:n])
+            _, q, _ = rvq_encode(sub, x)
+            errors.append(float(jnp.mean((q - x) ** 2)))
+        assert errors == sorted(errors, reverse=True)
+
+    def test_stochastic_is_seeded_deterministic(self, small_state, features):
+        rng = jax.random.PRNGKey(7)
+        c1, _, _ = rvq_encode(small_state, jnp.asarray(features),
+                              stochastic=True, rng=rng)
+        c2, _, _ = rvq_encode(small_state, jnp.asarray(features),
+                              stochastic=True, rng=rng)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        c3, _, _ = rvq_encode(small_state, jnp.asarray(features),
+                              stochastic=True, rng=jax.random.PRNGKey(8))
+        assert np.any(np.asarray(c1) != np.asarray(c3))
+
+    def test_stochastic_low_temperature_approaches_argmin(self, small_state,
+                                                          features):
+        codes_det, _, _ = rvq_encode(small_state, jnp.asarray(features))
+        codes_sto, _, _ = rvq_encode(small_state, jnp.asarray(features),
+                                     temperature=1e-6, stochastic=True,
+                                     rng=jax.random.PRNGKey(0))
+        match = np.mean(np.asarray(codes_det) == np.asarray(codes_sto))
+        assert match > 0.99
+
+    def test_straight_through_gradient(self, small_state, features):
+        def loss_fn(x):
+            _, q, losses = rvq_encode(small_state, x)
+            return jnp.sum(q ** 2) + losses["commitment_loss"]
+
+        grad = jax.grad(loss_fn)(jnp.asarray(features))
+        assert np.all(np.isfinite(np.asarray(grad)))
+        assert np.any(np.asarray(grad) != 0)
+
+
+class TestEmaUpdate:
+    def test_ema_moves_codebook_toward_data(self, small_state):
+        rng = np.random.default_rng(0)
+        # Data clustered near one point
+        x = (rng.standard_normal((1, 256, 16)) * 0.01 + 3.0).astype(np.float32)
+        state = small_state
+        for _ in range(20):
+            codes, _, _ = rvq_encode(state, jnp.asarray(x))
+            state = rvq_ema_update(state, jnp.asarray(x), codes, decay=0.5)
+        codes, q, _ = rvq_encode(state, jnp.asarray(x))
+        err_new = float(jnp.mean((q - x) ** 2))
+        _, q0, _ = rvq_encode(small_state, jnp.asarray(x))
+        err_old = float(jnp.mean((q0 - x) ** 2))
+        assert err_new < err_old
+
+    def test_unused_codes_unchanged(self, small_state, features):
+        codes, _, _ = rvq_encode(small_state, jnp.asarray(features))
+        new_state = rvq_ema_update(small_state, jnp.asarray(features), codes)
+        used = np.unique(np.asarray(codes[0]))
+        unused = np.setdiff1d(np.arange(64), used)
+        if unused.size:
+            np.testing.assert_array_equal(
+                np.asarray(new_state.codebook[0][unused]),
+                np.asarray(small_state.codebook[0][unused]))
+
+
+class TestPallasKernel:
+    def test_kernel_matches_xla_argmin(self):
+        """Code parity modulo argmin near-ties.
+
+        Deep-layer residuals are tiny; matmul summation order between the
+        chunked kernel and the one-shot XLA path can flip last-ulp ties.
+        Each path is individually deterministic (the pipeline always uses a
+        single path per run); here we require codes to agree except where
+        the two candidates are equidistant to fp32 precision.
+        """
+        from nat_tpu.ops.rvq_pallas import rvq_encode_pallas
+
+        state = init_rvq_state(jax.random.PRNGKey(1), num_layers=4,
+                               codebook_size=1024, dim=128)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, 300, 128)).astype(np.float32)
+        codes_ref, quant_ref, _ = rvq_encode(state, jnp.asarray(x))
+        codes_pl, quant_pl = rvq_encode_pallas(state, jnp.asarray(x),
+                                               interpret=True)
+        cr, cp = np.asarray(codes_ref), np.asarray(codes_pl)
+        assert (cr != cp).mean() < 0.02, "too many code mismatches for ties"
+        # First layer has large residuals (no near-ties): exact parity.
+        np.testing.assert_array_equal(cr[0], cp[0])
+        # Near-optimality: both paths must reach the same quantization error.
+        err_ref = float(np.mean((np.asarray(quant_ref) - x) ** 2))
+        err_pl = float(np.mean((np.asarray(quant_pl) - x) ** 2))
+        assert err_pl <= err_ref * 1.001 + 1e-6
+        # Where codes agree on every layer, quantized values must agree too
+        # (tie-flipped frames pick different-but-equidistant vectors).
+        agree = np.all(cr == cp, axis=0)  # [B, T]
+        np.testing.assert_allclose(np.asarray(quant_pl)[agree],
+                                   np.asarray(quant_ref)[agree], atol=1e-4)
+
+    def test_kernel_padding_invariance(self):
+        """Same tokens whether T is tile-aligned or ragged."""
+        from nat_tpu.ops.rvq_pallas import rvq_encode_pallas
+
+        state = init_rvq_state(jax.random.PRNGKey(2), num_layers=2,
+                               codebook_size=512, dim=128)
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((1, 256, 128)).astype(np.float32)
+        full_codes, _ = rvq_encode_pallas(state, jnp.asarray(x), interpret=True)
+        ragged_codes, _ = rvq_encode_pallas(state, jnp.asarray(x[:, :200]),
+                                            interpret=True)
+        np.testing.assert_array_equal(np.asarray(full_codes)[:, :, :200],
+                                      np.asarray(ragged_codes))
+
+
+class TestFacade:
+    def test_encode_returns_layer_list(self, features):
+        q = ResidualVectorQuantizer(input_dim=16, codebook_size=64,
+                                    num_quantizers=4)
+        codes = q.encode(features)
+        assert len(codes) == 4
+        assert codes[0].shape == (2, 37)
+
+    def test_call_and_decode_roundtrip(self, features):
+        q = ResidualVectorQuantizer(input_dim=16, codebook_size=64,
+                                    num_quantizers=4)
+        quantized, codes, losses = q(features)
+        decoded = q.decode(codes)
+        np.testing.assert_allclose(np.asarray(decoded), np.asarray(quantized),
+                                   atol=1e-5)
+        assert "total_vq_loss" in losses
+
+
+class TestCache:
+    def test_npz_roundtrip(self, tmp_path):
+        cb = np.random.default_rng(0).standard_normal((4, 8, 16)).astype(np.float32)
+        key = cb_cache.get_codebook_cache_key("m", 8, 4, 16, "semantic")
+        assert cb_cache.save_codebooks(tmp_path, key, cb, np.zeros((4, 8)),
+                                       cb.copy())
+        loaded = cb_cache.load_codebooks(tmp_path, key, expect_shape=(4, 8, 16))
+        np.testing.assert_array_equal(loaded[0], cb)
+
+    def test_reference_pickle_interop(self, tmp_path):
+        """A reference-tool .pkl cache must load into our stacked format."""
+        import pickle
+
+        cb = [np.random.default_rng(i).standard_normal((8, 16)).astype(np.float32)
+              for i in range(4)]
+        payload = {
+            "codebooks": cb,
+            "ema_counts": [np.zeros(8, np.float32)] * 4,
+            "ema_weights": [c.copy() for c in cb],
+            "input_dim": 16, "codebook_size": 8, "num_quantizers": 4,
+            "version": "1.4",
+        }
+        pkl = tmp_path / "m_size8_nq4_dim16_semantic.pkl"
+        with open(pkl, "wb") as f:
+            pickle.dump(payload, f)
+        # Request the .npz key; loader must fall back to the .pkl
+        key = cb_cache.get_codebook_cache_key("m", 8, 4, 16, "semantic")
+        loaded = cb_cache.load_codebooks(tmp_path, key, expect_shape=(4, 8, 16))
+        assert loaded is not None
+        np.testing.assert_array_equal(loaded[0], np.stack(cb))
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        cb = np.zeros((2, 8, 16), dtype=np.float32)
+        key = cb_cache.get_codebook_cache_key("m", 8, 2, 16, "acoustic")
+        cb_cache.save_codebooks(tmp_path, key, cb, np.zeros((2, 8)), cb.copy())
+        assert cb_cache.load_codebooks(tmp_path, key,
+                                       expect_shape=(4, 8, 16)) is None
+
+    def test_backup_on_force_reinit(self, tmp_path):
+        cb = np.zeros((1, 4, 8), dtype=np.float32)
+        key = "x.npz"
+        cb_cache.save_codebooks(tmp_path, key, cb, np.zeros((1, 4)), cb.copy())
+        cb_cache.save_codebooks(tmp_path, key, cb + 1, np.zeros((1, 4)),
+                                cb.copy(), force_reinit=True)
+        backups = list(tmp_path.glob("*.backup_*"))
+        assert len(backups) == 1
+
+
+class TestSeeding:
+    def test_kmeans_recovers_clusters(self):
+        rng = np.random.default_rng(0)
+        centers_true = rng.standard_normal((4, 8)) * 5
+        x = np.concatenate([
+            centers_true[i] + 0.05 * rng.standard_normal((100, 8))
+            for i in range(4)])
+        centers, assign, _ = seeding.kmeans_jax(x.astype(np.float32), 4,
+                                                seed=0)
+        # Every true center has a learned center nearby
+        for c in centers_true:
+            assert np.min(np.linalg.norm(centers - c, axis=1)) < 0.5
+
+    def test_robust_kmeans_fallback_on_tiny_data(self):
+        x = np.zeros((3, 8), dtype=np.float32)
+        centers = seeding.robust_kmeans(x, 16, seed=0)
+        assert centers.shape == (16, 8)
+        assert np.all(np.isfinite(centers))
+
+    def test_extract_weight_matrices_layer_filter(self):
+        sd = {
+            "encoder.layers.0.attention.q_proj.weight": np.ones((32, 24), np.float32),
+            "encoder.layers.10.attention.q_proj.weight": np.full((32, 24), 2.0, np.float32),
+            "encoder.layers.5.attention.q_proj.weight": np.full((32, 24), 3.0, np.float32),
+        }
+        sem = seeding.extract_weight_matrices(sd, "semantic")
+        acc = seeding.extract_weight_matrices(sd, "acoustic")
+        assert np.allclose(sem, 2.0)  # only layer 10 (range 9-12)
+        assert np.allclose(acc, 1.0)  # only layer 0 (range 0-3)
+
+    def test_seed_codebooks_deterministic_and_cached(self, tmp_path):
+        kwargs = dict(method="random", extraction_type="semantic",
+                      num_layers=2, codebook_size=8, input_dim=16, seed=42,
+                      cache_dir=tmp_path)
+        cb1 = seeding.seed_codebooks(**kwargs)
+        cb2 = seeding.seed_codebooks(**kwargs)  # second call hits cache
+        np.testing.assert_array_equal(cb1, cb2)
+        assert cb1.shape == (2, 8, 16)
+        assert len(list(tmp_path.glob("*.npz"))) == 1
+
+    def test_align_dim_pca_and_pad(self):
+        rng = np.random.default_rng(0)
+        wide = rng.standard_normal((50, 32)).astype(np.float32)
+        assert seeding._align_dim(wide, 16, 0).shape == (50, 16)
+        narrow = rng.standard_normal((50, 8)).astype(np.float32)
+        padded = seeding._align_dim(narrow, 16, 0)
+        assert padded.shape == (50, 16)
+        np.testing.assert_array_equal(padded[:, 8:], 0)
