@@ -25,6 +25,7 @@ deterministic Gaussian codebooks, matching the reference's degraded path
 
 from __future__ import annotations
 
+import os
 import re
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -257,6 +258,10 @@ def _align_dim(vectors: np.ndarray, target_dim: int, seed: int) -> np.ndarray:
 def load_pretrained_state_dict(model_name: str) -> Optional[Dict]:
     """Load a checkpoint's state_dict if locally available (no downloads)."""
     try:
+        # Some transformers paths (PEFT adapter probing) hit the network even
+        # with local_files_only; force full offline mode.
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
         import transformers
 
         auto = transformers.AutoModel

@@ -36,6 +36,30 @@ from ..utils.memory import check_memory_requirements
 from ..version import VERSION
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (opt-in via NAT_TPU_JIT_CACHE=1).
+
+    Measured on this project's driver hardware: with the cache enabled on
+    the experimental `axon` TPU backend, a warm second run was *slower*
+    than the cold run (570 s vs 317 s — executable deserialization appears
+    to hang over the tunnel), so the cache stays off unless requested.
+    """
+    import os
+
+    if os.environ.get("NAT_TPU_JIT_CACHE") != "1":
+        return
+    try:
+        import jax
+        from pathlib import Path
+
+        cache_dir = Path.home() / ".cache" / "neural_audio_tokenizer" / "jit_cache"
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 class AudioTokenizationPipeline:
     """Orchestrates load → tokenize → meter → evaluate → serialize."""
 
@@ -80,6 +104,7 @@ class AudioTokenizationPipeline:
         self.model_path = model_path
         self._temp_files: List[str] = []
 
+        _enable_compilation_cache()
         if device not in ("auto", None):
             # Pin the JAX default platform ("cpu"/"tpu"); "cuda" maps to
             # whatever accelerator backend is registered.

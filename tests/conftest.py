@@ -11,7 +11,14 @@ import sys
 from pathlib import Path
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# 8 virtual devices; raised collective-rendezvous deadlines (8 device
+# threads share ONE physical core here — XLA's default 40 s termination
+# timeout aborts the process when straggler threads can't be scheduled).
+os.environ.setdefault(
+    "XLA_FLAGS",
+    "--xla_force_host_platform_device_count=8"
+    " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
+    " --xla_cpu_collective_timeout_seconds=1800")
 
 import jax
 
