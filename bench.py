@@ -32,7 +32,8 @@ def main() -> None:
         sample_rate=sample_rate,
         codebook_size=4096,
         enable_codebook_cache=False,
-        use_pretrained_semantic=True,   # random-init wav2vec2 if no checkpoint
+        semantic_arch="wav2vec2",       # full transformer FLOPs even without
+                                        # a checkpoint (random-init weights)
         codebook_init_method="random",
         enable_reconstruction=False,    # tokenization throughput (the product path)
     )
@@ -46,13 +47,17 @@ def main() -> None:
 
     # Warm-up / compile
     out = forward(tok.params, tok.sem_rvq, tok.acc_rvq, wave, key)
-    jax.block_until_ready(out["semantic_codes"])
+    np.asarray(out["semantic_codes"])
 
+    # Force a device→host transfer of the tokens each iteration: on the
+    # tunneled axon backend block_until_ready returns before remote
+    # completion, inflating async-timed numbers ~200×. Transfers are what
+    # the product does anyway (tokens must reach the host for NDJSON).
     iters = 8
     start = time.perf_counter()
     for i in range(iters):
         out = forward(tok.params, tok.sem_rvq, tok.acc_rvq, wave, key)
-    jax.block_until_ready(out["semantic_codes"])
+        np.asarray(out["semantic_codes"])
     elapsed = time.perf_counter() - start
 
     audio_seconds = iters * batch * chunk_seconds

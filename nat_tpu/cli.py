@@ -103,6 +103,15 @@ Examples:
     parser.add_argument("--encodec-model", default="facebook/encodec_24khz",
                         help="Encodec model to use")
 
+    # Time-base control (extension over the reference; see man page)
+    parser.add_argument("--timebase", choices=["compat", "frame"],
+                        default="compat",
+                        help="Token time base: 'compat' reproduces the "
+                             "reference (min of encoder stream rates, "
+                             "dominated by the acoustic /16 conv stack); "
+                             "'frame' emits at the header-advertised sr/hop "
+                             "rate (default: compat)")
+
     # Deterministic mode
     parser.add_argument("--deterministic", action="store_true",
                         help="Enable deterministic mode for reproducible results")
@@ -273,6 +282,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         codebook_init_method=codebook_init_method,
         max_length=args.max_length,
         model_path=args.model_path,
+        timebase=args.timebase,
     )
 
     # -- input routing (reference 5482-5582) -------------------------------

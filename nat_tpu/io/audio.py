@@ -198,11 +198,13 @@ def load_audio_file(path: str, allow_raw_fallback: bool = True) -> Tuple[np.ndar
 
 
 def peak_normalize(audio: np.ndarray, eps: float = 1e-8) -> np.ndarray:
-    """Peak-normalize to [-1, 1] like the reference load path (4785)."""
-    peak = float(np.max(np.abs(audio))) if audio.size else 0.0
-    if peak > eps:
-        return (audio / peak).astype(np.float32)
-    return audio.astype(np.float32)
+    """Peak-normalize like the reference load path (4785): always divide by
+    ``max(|x|) + eps`` — bit-identical normalization is required for
+    audio_sha256 parity with reference-produced streams."""
+    if audio.size == 0:
+        return audio.astype(np.float32)
+    peak = np.abs(audio).max()
+    return (audio / (peak + eps)).astype(np.float32)
 
 
 def encode_wav_pcm16(audio: np.ndarray, sample_rate: int) -> bytes:

@@ -68,6 +68,7 @@ class NeuralAudioTokenizer:
         temperature: float = 0.5,
         timebase: str = "compat",
         use_pretrained_semantic: bool = True,
+        semantic_arch: str = "auto",
         use_pallas: Optional[bool] = None,
     ) -> None:
         self.sample_rate = sample_rate
@@ -90,6 +91,11 @@ class NeuralAudioTokenizer:
         self.temperature = temperature
         self.timebase = timebase
         self.use_pretrained_semantic = use_pretrained_semantic
+        # semantic_arch: "auto" = wav2vec2 when a checkpoint is available,
+        # else spectral fallback; "wav2vec2" = full transformer regardless
+        # (random-init without a checkpoint — honest-FLOPs benchmarking);
+        # "spectral" = force the light fallback.
+        self.semantic_arch = semantic_arch
         if use_pallas is None:
             use_pallas = any(d.platform not in ("cpu",) for d in jax.devices())
         self.use_pallas = use_pallas and not stochastic
@@ -131,18 +137,25 @@ class NeuralAudioTokenizer:
         params["mel_encoder"] = jax.jit(self.mel_encoder.init)(
             r_mel, dummy)["params"]
 
-        pretrained = (load_pretrained_semantic_params()
-                      if self.use_pretrained_semantic else None)
-        if pretrained is not None:
+        pretrained = None
+        if self.semantic_arch != "spectral" and self.use_pretrained_semantic:
+            pretrained = load_pretrained_semantic_params()
+        use_w2v2 = (self.semantic_arch == "wav2vec2"
+                    or (self.semantic_arch == "auto" and pretrained is not None))
+        if use_w2v2:
             self.semantic_encoder = SemanticAudioEncoder(
                 output_dim=self.semantic_dim)
             init_params = jax.jit(self.semantic_encoder.init)(
                 r_sem, dummy16)["params"]
-            init_params.update(pretrained)
+            if pretrained is not None:
+                init_params.update(pretrained)
+                logger.info("Semantic encoder: pretrained wav2vec2-base weights")
+            else:
+                logger.warn("Semantic encoder: wav2vec2 architecture with "
+                            "random-init weights (no checkpoint available)")
             params["semantic_encoder"] = init_params
-            logger.info("Semantic encoder: pretrained wav2vec2-base weights")
         else:
-            if self.use_pretrained_semantic:
+            if self.semantic_arch == "auto" and self.use_pretrained_semantic:
                 logger.warn("wav2vec2 checkpoint unavailable; using spectral "
                             "fallback semantic encoder")
             self.semantic_encoder = SpectralFallbackEncoder(

@@ -85,6 +85,7 @@ class AudioTokenizationPipeline:
         codebook_init_method: str = "mert",
         max_length: Optional[int] = None,
         model_path: Optional[str] = None,
+        timebase: str = "compat",
     ) -> None:
         self.sample_rate = resample_rate or sample_rate
         self.model_config = dict(model_config or {})
@@ -102,6 +103,7 @@ class AudioTokenizationPipeline:
         self.codebook_init_method = codebook_init_method
         self.max_length = max_length
         self.model_path = model_path
+        self.timebase = timebase
         self._temp_files: List[str] = []
 
         _enable_compilation_cache()
@@ -184,6 +186,7 @@ class AudioTokenizationPipeline:
             force_reinit_codebooks=self.force_reinit_codebooks,
             deterministic=self.deterministic,
             seed=self.deterministic_seed,
+            timebase=self.timebase,
         )
         tok.ensure_initialized()
         if self.model_path:
