@@ -117,6 +117,17 @@ Examples:
                         help="Enable deterministic mode for reproducible results")
     parser.add_argument("--seed", type=int, default=42,
                         help="Random seed for deterministic mode (default: 42)")
+    parser.add_argument("--stochastic", action="store_true",
+                        help="Sample tokens from a temperature softmax over "
+                             "codebook distances (the reference's implicit "
+                             "behavior) instead of argmin")
+    parser.add_argument("--temperature", type=float, default=0.5,
+                        help="Sampling temperature for --stochastic "
+                             "(default: 0.5)")
+    parser.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                        default=None,
+                        help="Encoder compute precision (default: bfloat16 "
+                             "on TPU, float32 on CPU)")
 
     # Audio processing
     parser.add_argument("--resample", type=int, nargs="?", const=22050, default=None,
@@ -283,6 +294,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         max_length=args.max_length,
         model_path=args.model_path,
         timebase=args.timebase,
+        stochastic=args.stochastic,
+        temperature=args.temperature,
+        compute_dtype=args.compute_dtype,
     )
 
     # -- input routing (reference 5482-5582) -------------------------------

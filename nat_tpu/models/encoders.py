@@ -31,12 +31,14 @@ class ConvBlock2D(nn.Module):
     kernel: tuple[int, int] = (3, 3)
     strides: tuple[int, int] = (1, 1)
     groups: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Conv(self.features, self.kernel, strides=self.strides,
-                    padding="SAME")(x)
-        x = nn.GroupNorm(num_groups=min(self.groups, self.features))(x)
+                    padding="SAME", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=min(self.groups, self.features),
+                         dtype=self.dtype)(x)
         return nn.gelu(x)
 
 
@@ -53,22 +55,25 @@ class MelResidualEncoder(nn.Module):
     hop_length: int = 512
     sample_rate: int = 22050
     channels: Sequence[int] = (32, 64, 128, 256, 512, 512)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
+        # DSP front stays float32 (DFT precision); conv stack runs in
+        # self.dtype (bfloat16 on TPU doubles MXU throughput).
         mel = mel_spectrogram(
             waveform, sample_rate=self.sample_rate, n_fft=self.n_fft,
             hop_length=self.hop_length, n_mels=self.n_mels,
             normalized=True)                         # [B, n_mels, T]
-        x = jnp.log(mel + 1e-5)
+        x = jnp.log(mel + 1e-5).astype(self.dtype)
         x = jnp.transpose(x, (0, 2, 1))[..., None]    # NHWC: [B, T, n_mels, 1]
 
         for i, ch in enumerate(self.channels):
             strides = (2, 2) if i < 4 else (1, 1)
-            x = ConvBlock2D(ch, strides=strides)(x)   # time,freq /16 total
+            x = ConvBlock2D(ch, strides=strides, dtype=self.dtype)(x)
 
-        x = nn.Conv(self.output_dim, (1, 1))(x)       # 1×1 projection
-        return jnp.mean(x, axis=2)                    # pool freq → [B, T/16, D]
+        x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype)(x)
+        return jnp.mean(x, axis=2).astype(jnp.float32)  # [B, T/16, D]
 
 
 class ConvBlock1D(nn.Module):
@@ -78,12 +83,14 @@ class ConvBlock1D(nn.Module):
     kernel: int
     strides: int = 1
     groups: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Conv(self.features, (self.kernel,), strides=(self.strides,),
-                    padding="SAME")(x)
-        x = nn.GroupNorm(num_groups=min(self.groups, self.features))(x)
+                    padding="SAME", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=min(self.groups, self.features),
+                         dtype=self.dtype)(x)
         return nn.gelu(x)
 
 
@@ -96,16 +103,20 @@ class MultiScaleTemporalEncoder(nn.Module):
     input_dim: int = 512
     scales: Sequence[int] = (1, 2, 4, 8, 16)
     branch_dim: int = 128
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         t = x.shape[1]
+        x = x.astype(self.dtype)
         branches = []
         for s in self.scales:
-            b = ConvBlock1D(self.branch_dim, kernel=2 * s + 1, strides=s)(x)
-            b = ConvBlock1D(self.branch_dim, kernel=3)(b)
+            b = ConvBlock1D(self.branch_dim, kernel=2 * s + 1, strides=s,
+                            dtype=self.dtype)(x)
+            b = ConvBlock1D(self.branch_dim, kernel=3, dtype=self.dtype)(b)
             # back to the input time base
             b = jnp.swapaxes(interp_linear(jnp.swapaxes(b, 1, 2), t), 1, 2)
             branches.append(b)
         fused = jnp.concatenate(branches, axis=-1)
-        return nn.Conv(self.input_dim, (1,))(fused)
+        return nn.Conv(self.input_dim, (1,),
+                       dtype=self.dtype)(fused).astype(jnp.float32)

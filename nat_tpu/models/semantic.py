@@ -52,14 +52,17 @@ def feature_extractor_output_length(num_samples: int) -> int:
 class FeatureExtractor(nn.Module):
     """7-layer strided conv stack, 16 kHz waveform → [B, T', 512] @ ~50 Hz."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = x[..., None]                                  # [B, T, 1]
+        h = x[..., None].astype(self.dtype)               # [B, T, 1]
         for i, (dim, kernel, stride) in enumerate(CONV_LAYERS):
             h = nn.Conv(dim, (kernel,), strides=(stride,), padding="VALID",
-                        use_bias=False, name=f"conv_{i}")(h)
+                        use_bias=False, dtype=self.dtype, name=f"conv_{i}")(h)
             if i == 0:  # base config: group-norm after the first conv only
-                h = nn.GroupNorm(num_groups=dim, name="group_norm")(h)
+                h = nn.GroupNorm(num_groups=dim, dtype=self.dtype,
+                                 name="group_norm")(h)
             h = nn.gelu(h)
         return h
 
@@ -67,37 +70,42 @@ class FeatureExtractor(nn.Module):
 class TransformerLayer(nn.Module):
     """Post-norm encoder layer (wav2vec2-base convention)."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         attn = nn.MultiHeadDotProductAttention(
             num_heads=NUM_HEADS, qkv_features=HIDDEN, out_features=HIDDEN,
-            name="attention")(x, x)
-        x = nn.LayerNorm(name="layer_norm")(x + attn)
-        ffn = nn.Dense(FFN_DIM, name="fc1")(x)
-        ffn = nn.Dense(HIDDEN, name="fc2")(nn.gelu(ffn))
-        return nn.LayerNorm(name="final_layer_norm")(x + ffn)
+            dtype=self.dtype, name="attention")(x, x)
+        x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x + attn)
+        ffn = nn.Dense(FFN_DIM, dtype=self.dtype, name="fc1")(x)
+        ffn = nn.Dense(HIDDEN, dtype=self.dtype, name="fc2")(nn.gelu(ffn))
+        return nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x + ffn)
 
 
 class Wav2Vec2Encoder(nn.Module):
     """Full wav2vec2-base trunk: 16 kHz waveform → hidden states [B, T', 768]."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
-        feats = FeatureExtractor(name="feature_extractor")(waveform)
-        h = nn.LayerNorm(name="fp_layer_norm")(feats)
-        h = nn.Dense(HIDDEN, name="fp_projection")(h)
+        feats = FeatureExtractor(dtype=self.dtype,
+                                 name="feature_extractor")(waveform)
+        h = nn.LayerNorm(dtype=self.dtype, name="fp_layer_norm")(feats)
+        h = nn.Dense(HIDDEN, dtype=self.dtype, name="fp_projection")(h)
 
         # Convolutional positional embedding (grouped conv, GELU), then
         # post-norm. HF pads 64 both sides and drops the final column.
         pos = nn.Conv(HIDDEN, (POS_CONV_KERNEL,),
                       feature_group_count=POS_CONV_GROUPS,
                       padding=[(POS_CONV_KERNEL // 2, POS_CONV_KERNEL // 2)],
-                      name="pos_conv")(h)
+                      dtype=self.dtype, name="pos_conv")(h)
         pos = nn.gelu(pos[:, : h.shape[1], :])
-        h = nn.LayerNorm(name="encoder_layer_norm")(h + pos)
+        h = nn.LayerNorm(dtype=self.dtype, name="encoder_layer_norm")(h + pos)
 
         for i in range(NUM_LAYERS):
-            h = TransformerLayer(name=f"layer_{i}")(h)
+            h = TransformerLayer(dtype=self.dtype, name=f"layer_{i}")(h)
         return h
 
 
@@ -105,11 +113,13 @@ class SemanticAudioEncoder(nn.Module):
     """wav2vec2 trunk + 768→output_dim projection: [B, T16k] → [B, T', D]."""
 
     output_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, waveform_16k: jnp.ndarray) -> jnp.ndarray:
-        h = Wav2Vec2Encoder(name="wav2vec2")(waveform_16k)
-        return nn.Dense(self.output_dim, name="projection")(h)
+        h = Wav2Vec2Encoder(dtype=self.dtype, name="wav2vec2")(waveform_16k)
+        return nn.Dense(self.output_dim, dtype=self.dtype,
+                        name="projection")(h).astype(jnp.float32)
 
 
 class SpectralFallbackEncoder(nn.Module):

@@ -70,6 +70,7 @@ class NeuralAudioTokenizer:
         use_pretrained_semantic: bool = True,
         semantic_arch: str = "auto",
         use_pallas: Optional[bool] = None,
+        compute_dtype: Optional[str] = None,
     ) -> None:
         self.sample_rate = sample_rate
         self.semantic_dim = semantic_dim
@@ -96,16 +97,26 @@ class NeuralAudioTokenizer:
         # (random-init without a checkpoint — honest-FLOPs benchmarking);
         # "spectral" = force the light fallback.
         self.semantic_arch = semantic_arch
+        on_accelerator = any(d.platform not in ("cpu",) for d in jax.devices())
         if use_pallas is None:
-            use_pallas = any(d.platform not in ("cpu",) for d in jax.devices())
+            use_pallas = on_accelerator
         self.use_pallas = use_pallas and not stochastic
+        # bf16 compute on the MXU roughly doubles encoder throughput; params
+        # stay float32 and RVQ distances are always float32, so only feature
+        # values (not token determinism within a config) are affected.
+        if compute_dtype is None:
+            compute_dtype = "bfloat16" if on_accelerator else "float32"
+        self.compute_dtype = compute_dtype
+        dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
 
         # Modules (architecture only; params live in self.params)
         self.mel_encoder = MelResidualEncoder(
             output_dim=acoustic_dim, n_mels=n_mels, hop_length=hop_length,
-            sample_rate=sample_rate)
-        self.temporal_semantic = MultiScaleTemporalEncoder(input_dim=semantic_dim)
-        self.temporal_acoustic = MultiScaleTemporalEncoder(input_dim=acoustic_dim)
+            sample_rate=sample_rate, dtype=dtype)
+        self.temporal_semantic = MultiScaleTemporalEncoder(
+            input_dim=semantic_dim, dtype=dtype)
+        self.temporal_acoustic = MultiScaleTemporalEncoder(
+            input_dim=acoustic_dim, dtype=dtype)
         self.decoder = ReconstructionDecoder()
         self.semantic_encoder: Any = None   # chosen in ensure_initialized
         self.semantic_fallback = False
@@ -144,7 +155,9 @@ class NeuralAudioTokenizer:
                     or (self.semantic_arch == "auto" and pretrained is not None))
         if use_w2v2:
             self.semantic_encoder = SemanticAudioEncoder(
-                output_dim=self.semantic_dim)
+                output_dim=self.semantic_dim,
+                dtype=(jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                       else jnp.float32))
             init_params = jax.jit(self.semantic_encoder.init)(
                 r_sem, dummy16)["params"]
             if pretrained is not None:
@@ -306,7 +319,9 @@ class NeuralAudioTokenizer:
             self.sample_rate = actual_sample_rate
             self.mel_encoder = MelResidualEncoder(
                 output_dim=self.acoustic_dim, n_mels=self.n_mels,
-                hop_length=self.hop_length, sample_rate=actual_sample_rate)
+                hop_length=self.hop_length, sample_rate=actual_sample_rate,
+                dtype=(jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                       else jnp.float32))
             self._forward_cache.clear()
 
         spans = chunk_spans(wave.shape[-1], self.sample_rate)

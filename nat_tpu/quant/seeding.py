@@ -204,6 +204,7 @@ def extract_weight_matrices(
     extraction_type: str = "semantic",
     max_rows_per_matrix: int = 10_000,
     seed: int = 42,
+    split_by_order: bool = False,
 ) -> Optional[np.ndarray]:
     """Collect row-vectors from 2-D weight matrices of a checkpoint.
 
@@ -211,11 +212,16 @@ def extract_weight_matrices(
     matrices whose names match attention/dense/embedding patterns and whose
     layer index falls in the extraction range; rows are subsampled, grouped
     by feature dim, and the largest-dim group wins (reference 1172-1326).
+
+    ``split_by_order=True`` reproduces the reference's *typed EnCodec*
+    variant (1065-1165): when matrices carry no usable layer indices (e.g.
+    EnCodec codebook buffers), the matched matrices are split positionally —
+    the latter half feeds 'semantic', the first half 'acoustic'.
     """
     lo, hi = (SEMANTIC_LAYER_RANGE if extraction_type == "semantic"
               else ACOUSTIC_LAYER_RANGE)
     rng = np.random.default_rng(seed)
-    groups: Dict[int, List[np.ndarray]] = {}
+    matched: List[np.ndarray] = []
     for name, value in state_dict.items():
         arr = np.asarray(getattr(value, "numpy", lambda: value)()
                          if hasattr(value, "numpy") else value)
@@ -225,15 +231,22 @@ def extract_weight_matrices(
         if not any(p in lname for p in _NAME_PATTERNS):
             continue
         li = _layer_index(lname)
-        if li is not None and not (lo <= li <= hi):
-            continue
-        if li is None and "embed" not in lname and "codebook" not in lname:
-            continue
+        if not split_by_order:
+            if li is not None and not (lo <= li <= hi):
+                continue
+            if li is None and "embed" not in lname and "codebook" not in lname:
+                continue
         rows = arr if arr.shape[1] >= arr.shape[0] // 4 else arr.T
         if rows.shape[0] > max_rows_per_matrix:
             rows = rows[rng.permutation(rows.shape[0])[:max_rows_per_matrix]]
-        groups.setdefault(rows.shape[1], []).append(
-            rows.astype(np.float32, copy=False))
+        matched.append(rows.astype(np.float32, copy=False))
+    if split_by_order and matched:
+        half = len(matched) // 2
+        matched = (matched[half:] if extraction_type == "semantic"
+                   else matched[:half]) or matched
+    groups: Dict[int, List[np.ndarray]] = {}
+    for rows in matched:
+        groups.setdefault(rows.shape[1], []).append(rows)
     if not groups:
         return None
     best_dim = max(groups, key=lambda dim: dim)
@@ -319,7 +332,8 @@ def seed_codebooks(
             model_name or default_names[method])
         if state_dict is not None:
             vectors = extract_weight_matrices(
-                state_dict, extraction_type, seed=seed)
+                state_dict, extraction_type, seed=seed,
+                split_by_order=(method == "encodec"))
     elif features is not None:
         vectors = np.asarray(features, dtype=np.float32)
         if refine_with_kmeans:

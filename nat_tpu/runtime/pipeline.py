@@ -33,6 +33,7 @@ from ..stream.formatter import TokenFormatter
 from ..stream.protocol import StreamingProtocol
 from ..utils.logging import logger
 from ..utils.memory import check_memory_requirements
+from ..utils.profiling import annotate, maybe_start_trace_from_env
 from ..version import VERSION
 
 
@@ -86,6 +87,9 @@ class AudioTokenizationPipeline:
         max_length: Optional[int] = None,
         model_path: Optional[str] = None,
         timebase: str = "compat",
+        stochastic: bool = False,
+        temperature: float = 0.5,
+        compute_dtype: Optional[str] = None,
     ) -> None:
         self.sample_rate = resample_rate or sample_rate
         self.model_config = dict(model_config or {})
@@ -104,9 +108,13 @@ class AudioTokenizationPipeline:
         self.max_length = max_length
         self.model_path = model_path
         self.timebase = timebase
+        self.stochastic = stochastic
+        self.temperature = temperature
+        self.compute_dtype = compute_dtype
         self._temp_files: List[str] = []
 
         _enable_compilation_cache()
+        maybe_start_trace_from_env()
         if device not in ("auto", None):
             # Pin the JAX default platform ("cpu"/"tpu"); "cuda" maps to
             # whatever accelerator backend is registered.
@@ -187,6 +195,9 @@ class AudioTokenizationPipeline:
             deterministic=self.deterministic,
             seed=self.deterministic_seed,
             timebase=self.timebase,
+            stochastic=self.stochastic,
+            temperature=self.temperature,
+            compute_dtype=self.compute_dtype,
         )
         tok.ensure_initialized()
         if self.model_path:
@@ -236,7 +247,8 @@ class AudioTokenizationPipeline:
         start_time = time.time()
         self.budget_meter.reset()
 
-        audio, sr = self.load_audio(file_path)
+        with annotate("nat/load_audio"):
+            audio, sr = self.load_audio(file_path)
         duration = len(audio) / sr
         logger.info(f"Loaded audio: {len(audio)} samples, {sr} Hz, {duration:.2f}s")
 
@@ -248,7 +260,8 @@ class AudioTokenizationPipeline:
 
         logger.info("Tokenizing...")
         encode_start = time.time()
-        result = self.tokenizer(audio[None, :], actual_sample_rate=sr)
+        with annotate("nat/tokenize"):
+            result = self.tokenizer(audio[None, :], actual_sample_rate=sr)
         encoding_time = time.time() - encode_start
 
         semantic_codes = result["semantic_codes"]
@@ -267,9 +280,10 @@ class AudioTokenizationPipeline:
         recon_np = None
         if reconstructed is not None:
             recon_np = np.asarray(reconstructed).reshape(-1)
-        metrics = self.evaluator.evaluate_tokenization(
-            audio, self.tokenizer, recon_np, precomputed_result=result,
-            encoding_time=encoding_time)
+        with annotate("nat/evaluate"):
+            metrics = self.evaluator.evaluate_tokenization(
+                audio, self.tokenizer, recon_np, precomputed_result=result,
+                encoding_time=encoding_time)
 
         text_tokens = self.formatter.to_text_sequence(
             semantic_codes, acoustic_codes, output_format)

@@ -1,8 +1,10 @@
 """Token dumps for non-NDJSON output formats.
 
-Counterpart of reference `TokenFormatter` (neural_audio_tokenizer.py:
-4216-4327): `hierarchical`, `interleaved`, `structured` text renderings and a
-nested JSON dump.  Operates on numpy code arrays.
+Wire-format parity with reference `TokenFormatter`
+(neural_audio_tokenizer.py:4216-4327): `hierarchical` (all semantic layers
+flattened, then all acoustic), `interleaved` (layer-flattened S/A sequences
+alternated token-by-token), `structured` (space-joined per-frame segments),
+and the nested `neural_hybrid` JSON dump.
 """
 
 from __future__ import annotations
@@ -11,6 +13,8 @@ import json
 from typing import Dict, List, Optional
 
 import numpy as np
+
+from ..version import FORMAT_VERSION
 
 
 def _flat(codes) -> List[np.ndarray]:
@@ -22,51 +26,70 @@ class TokenFormatter:
 
     def to_text_sequence(self, semantic_codes, acoustic_codes,
                          output_format: str = "hierarchical") -> str:
-        sem = _flat(semantic_codes)
-        acc = _flat(acoustic_codes)
-
         if output_format == "hierarchical":
-            parts = ["[SEMANTIC]"]
-            for layer, codes in enumerate(sem):
-                parts.extend(f"S{layer}_{tok}" for tok in codes)
-            parts.append("[ACOUSTIC]")
-            for layer, codes in enumerate(acc):
-                parts.extend(f"A{layer}_{tok}" for tok in codes)
-            return " ".join(parts)
-
+            return self._hierarchical(semantic_codes, acoustic_codes)
         if output_format == "interleaved":
-            # Walk frames, interleaving one semantic + one acoustic token per
-            # layer at each time step.
-            num_frames = min(
-                min((len(c) for c in sem), default=0),
-                min((len(c) for c in acc), default=0),
-            )
-            parts = []
-            for fi in range(num_frames):
-                parts.extend(f"S_{c[fi]}" for c in sem)
-                parts.extend(f"A_{c[fi]}" for c in acc)
-            return " ".join(parts)
-
+            return self._interleaved(semantic_codes, acoustic_codes)
         if output_format == "structured":
-            num_frames = min(
-                min((len(c) for c in sem), default=0),
-                min((len(c) for c in acc), default=0),
-            )
-            lines = []
-            for fi in range(num_frames):
-                sem_part = ",".join(f"S{li}:{c[fi]}" for li, c in enumerate(sem))
-                acc_part = ",".join(f"A{li}:{c[fi]}" for li, c in enumerate(acc))
-                lines.append(f"[T{fi}][SEM:{sem_part}][AC:{acc_part}]")
-            return "\n".join(lines)
+            return self._structured(semantic_codes, acoustic_codes)
+        raise ValueError(f"Unknown format type: {output_format}")
 
-        raise ValueError(f"Unknown output format: {output_format}")
+    @staticmethod
+    def _hierarchical(semantic_codes, acoustic_codes) -> str:
+        parts = ["[SEMANTIC]"]
+        for layer, codes in enumerate(_flat(semantic_codes)):
+            parts.extend(f"S{layer}_{tok}" for tok in codes)
+        parts.append("[ACOUSTIC]")
+        for layer, codes in enumerate(_flat(acoustic_codes)):
+            parts.extend(f"A{layer}_{tok}" for tok in codes)
+        return " ".join(parts)
+
+    @staticmethod
+    def _interleaved(semantic_codes, acoustic_codes) -> str:
+        # Alternate tokens from the layer-concatenated flattened sequences
+        # (reference 4254-4270), not per-frame.
+        sem = (np.concatenate(_flat(semantic_codes))
+               if semantic_codes else np.array([], dtype=int))
+        acc = (np.concatenate(_flat(acoustic_codes))
+               if acoustic_codes else np.array([], dtype=int))
+        parts = []
+        for i in range(max(sem.size, acc.size)):
+            if i < sem.size:
+                parts.append(f"S_{sem[i]}")
+            if i < acc.size:
+                parts.append(f"A_{acc[i]}")
+        return " ".join(parts)
+
+    @staticmethod
+    def _structured(semantic_codes, acoustic_codes) -> str:
+        sem = [np.atleast_2d(np.asarray(c)) for c in semantic_codes]
+        acc = [np.atleast_2d(np.asarray(c)) for c in acoustic_codes]
+        min_t = min(
+            min((c.shape[-1] for c in sem), default=0),
+            min((c.shape[-1] for c in acc), default=0),
+        )
+        segments = []
+        for t in range(min_t):
+            sem_part = ",".join(f"S{li}:{int(c[0, t])}"
+                                for li, c in enumerate(sem))
+            acc_part = ",".join(f"A{li}:{int(c[0, t])}"
+                                for li, c in enumerate(acc))
+            segments.append(f"[T{t}][SEM:{sem_part}][AC:{acc_part}]")
+        return " ".join(segments)
 
     def to_json(self, semantic_codes, acoustic_codes,
                 metadata: Optional[Dict] = None) -> str:
-        payload = {
-            "semantic_tokens": [c.tolist() for c in _flat(semantic_codes)],
-            "acoustic_tokens": [c.tolist() for c in _flat(acoustic_codes)],
+        data = {
+            "format_version": FORMAT_VERSION,
+            "tokenization_type": "neural_hybrid",
+            "semantic_tokens": {
+                f"layer_{i}": np.asarray(c).tolist()
+                for i, c in enumerate(semantic_codes)
+            },
+            "acoustic_tokens": {
+                f"layer_{i}": np.asarray(c).tolist()
+                for i, c in enumerate(acoustic_codes)
+            },
+            "metadata": metadata or {},
         }
-        if metadata:
-            payload["metadata"] = metadata
-        return json.dumps(payload, indent=2)
+        return json.dumps(data, indent=2)

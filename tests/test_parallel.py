@@ -84,13 +84,14 @@ class TestTrainStep:
 
         rng = jax.random.PRNGKey(0)
         batch = jax.random.normal(rng, (4, 11025), dtype=jnp.float32)
+        # Snapshot before stepping: the step donates its input state (the
+        # old arrays are deleted on return — intended memory behavior).
+        old_leaf = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
         new_state, metrics = step(state, batch, rng)
         assert np.isfinite(float(metrics["loss"]))
         assert int(new_state.step) == 1
-        # Params must actually change
-        old_leaf = jax.tree_util.tree_leaves(state.params)[0]
-        new_leaf = jax.tree_util.tree_leaves(new_state.params)[0]
-        assert np.any(np.asarray(old_leaf) != np.asarray(new_leaf))
+        new_leaf = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
+        assert np.any(old_leaf != new_leaf)
 
     def test_ema_updates_codebooks_in_train_step(self, mesh):
         import optax
