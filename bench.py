@@ -25,7 +25,9 @@ def main() -> None:
 
     sample_rate = 22050
     chunk_seconds = 30.0
-    batch = 4
+    # Throughput batching: per-call host/tunnel overhead is ~90 ms fixed +
+    # ~7 ms per item (measured), so batch 32 amortizes it ~3x vs batch 4.
+    batch = 32
     bucket = int(chunk_seconds * sample_rate)
 
     tok = NeuralAudioTokenizer(

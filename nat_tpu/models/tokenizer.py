@@ -324,27 +324,52 @@ class NeuralAudioTokenizer:
                        else jnp.float32))
             self._forward_cache.clear()
 
-        spans = chunk_spans(wave.shape[-1], self.sample_rate)
+        total = wave.shape[-1]
+        # Overlap-discard margins (SURVEY.md §5.7): extend each interior
+        # chunk by ~1 s of real neighbor audio so conv receptive fields and
+        # center padding see true context, then keep only the frames whose
+        # centers fall inside the chunk's own span.  Spans partition the
+        # signal, so every frame is kept exactly once.  chunk_spans reserves
+        # the margin so extended chunks still fit the largest bucket.
+        overlap = int(self.sample_rate)
+        spans = chunk_spans(total, self.sample_rate, overlap=overlap)
+        if len(spans) == 1:
+            overlap = 0
         sem_parts: List[np.ndarray] = []
         acc_parts: List[np.ndarray] = []
         recon_parts: List[np.ndarray] = []
         losses: Dict[str, float] = {}
         for start, length in spans:
-            chunk = wave[:, start:start + length]
-            bucket = bucket_length(length, self.sample_rate)
-            if length < bucket:
-                chunk = np.pad(chunk, ((0, 0), (0, bucket - length)))
+            ext_start = max(0, start - overlap)
+            ext_end = min(total, start + length + overlap)
+            ext_len = ext_end - ext_start
+            chunk = wave[:, ext_start:ext_end]
+            bucket = bucket_length(ext_len, self.sample_rate)
+            if ext_len < bucket:
+                chunk = np.pad(chunk, ((0, 0), (0, bucket - ext_len)))
             forward, t_target_bucket = self._forward_for(bucket)
             self._rng, rng = jax.random.split(self._rng)
             out = forward(self.params, self.sem_rvq, self.acc_rvq,
                           jnp.asarray(chunk), rng)
-            valid_t = self._target_frames(length)
-            sem_parts.append(np.asarray(out["semantic_codes"])[:, :, :valid_t])
-            acc_parts.append(np.asarray(out["acoustic_codes"])[:, :, :valid_t])
+            valid_t = self._target_frames(ext_len)
+            sem = np.asarray(out["semantic_codes"])[:, :, :valid_t]
+            acc = np.asarray(out["acoustic_codes"])[:, :, :valid_t]
+            if overlap:
+                # Frame f covers samples centered at (f+0.5)*ext_len/valid_t
+                # (relative to ext_start); keep centers inside [start, end).
+                centers = ext_start + (np.arange(valid_t) + 0.5) * (
+                    ext_len / max(valid_t, 1))
+                keep = (centers >= start) & (centers < start + length)
+                sem, acc = sem[:, :, keep], acc[:, :, keep]
+            sem_parts.append(sem)
+            acc_parts.append(acc)
             if out["reconstructed"] is not None:
-                valid_samples = min(valid_t * self.hop_length, length)
-                recon_parts.append(
-                    np.asarray(out["reconstructed"])[:, :valid_samples])
+                valid_samples = min(valid_t * self.hop_length, ext_len)
+                recon = np.asarray(out["reconstructed"])[:, :valid_samples]
+                if overlap:
+                    lo = start - ext_start
+                    recon = recon[:, lo:lo + length]
+                recon_parts.append(recon)
             losses = {k: float(v) for k, v in out["losses"].items()}
             last_out = out
 

@@ -25,16 +25,22 @@ def bucket_length(num_samples: int, sample_rate: int) -> int:
     return int(round(MAX_SINGLE_CHUNK_S * sample_rate))
 
 
-def chunk_spans(num_samples: int, sample_rate: int) -> List[Tuple[int, int]]:
-    """Split a long signal into (start, length) spans of at most the max
-    chunk size.  The final span is bucket-padded by the caller."""
+def chunk_spans(num_samples: int, sample_rate: int,
+                overlap: int = 0) -> List[Tuple[int, int]]:
+    """Split a long signal into (start, length) spans.
+
+    ``overlap`` reserves margin on both sides of every span so that spans
+    extended by the overlap (for boundary-exact encoding) still fit the
+    largest bucket.  The final span is bucket-padded by the caller.
+    """
     max_len = int(round(MAX_SINGLE_CHUNK_S * sample_rate))
     if num_samples <= max_len:
         return [(0, num_samples)]
+    core_len = max(max_len - 2 * overlap, max_len // 2)
     spans = []
     start = 0
     while start < num_samples:
-        length = min(max_len, num_samples - start)
+        length = min(core_len, num_samples - start)
         spans.append((start, length))
         start += length
     return spans
