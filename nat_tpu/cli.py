@@ -291,6 +291,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         enable_codebook_cache=not args.no_codebook_cache,
         force_reinit_codebooks=args.force_reinit_codebooks,
         codebook_init_method=codebook_init_method,
+        encodec_model=args.encodec_model,
         max_length=args.max_length,
         model_path=args.model_path,
         timebase=args.timebase,

@@ -18,7 +18,6 @@ TPU-first design notes:
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax

@@ -9,7 +9,9 @@ mean-MFCC cosine timbral similarity.  All operate on mono float arrays.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+
+
+from typing import Tuple
 
 import numpy as np
 

@@ -22,7 +22,6 @@ Counterpart of reference `NeuralAudioTokenizer` (neural_audio_tokenizer.py:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -59,6 +58,7 @@ class NeuralAudioTokenizer:
         hop_length: int = 512,
         enable_reconstruction: bool = True,
         codebook_init_method: str = "mert",
+        encodec_model: str = "facebook/encodec_24khz",
         codebook_cache_dir: Optional[str] = None,
         enable_codebook_cache: bool = True,
         force_reinit_codebooks: bool = False,
@@ -83,6 +83,7 @@ class NeuralAudioTokenizer:
         self.hop_length = hop_length
         self.enable_reconstruction = enable_reconstruction
         self.codebook_init_method = codebook_init_method
+        self.encodec_model = encodec_model
         self.codebook_cache_dir = codebook_cache_dir
         self.enable_codebook_cache = enable_codebook_cache
         self.force_reinit_codebooks = force_reinit_codebooks
@@ -193,6 +194,8 @@ class NeuralAudioTokenizer:
         # Codebook seeding (explicit, cached; reference seeds 42 / 123)
         common = dict(
             method=self.codebook_init_method,
+            model_name=(self.encodec_model
+                        if self.codebook_init_method == "encodec" else None),
             codebook_size=self.codebook_size,
             cache_dir=self.codebook_cache_dir,
             use_cache=self.enable_codebook_cache,

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..quant.rvq import RVQState, rvq_decode, rvq_ema_update, rvq_encode
+from ..quant.rvq import RVQState, rvq_ema_update, rvq_encode
 from .mesh import batch_sharding, replicated, rvq_state_sharding, shard_params
 
 

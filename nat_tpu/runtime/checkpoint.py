@@ -10,7 +10,6 @@ checkpoints (optimizer state included) use the same mechanism.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Optional
 
 import numpy as np
 

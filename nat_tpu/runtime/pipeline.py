@@ -84,6 +84,7 @@ class AudioTokenizationPipeline:
         enable_codebook_cache: bool = True,
         force_reinit_codebooks: bool = False,
         codebook_init_method: str = "mert",
+        encodec_model: str = "facebook/encodec_24khz",
         max_length: Optional[int] = None,
         model_path: Optional[str] = None,
         timebase: str = "compat",
@@ -105,6 +106,7 @@ class AudioTokenizationPipeline:
         self.enable_codebook_cache = enable_codebook_cache
         self.force_reinit_codebooks = force_reinit_codebooks
         self.codebook_init_method = codebook_init_method
+        self.encodec_model = encodec_model
         self.max_length = max_length
         self.model_path = model_path
         self.timebase = timebase
