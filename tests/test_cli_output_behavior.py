@@ -184,6 +184,37 @@ def test_rle_mode_emits_tokens_events(cli, simple_wav):
     assert enc["A0"] == "dense"
 
 
+def test_batch_all_outputs_dir(cli, simple_wav, simple_wav2, tmp_path):
+    """Case A: multi-file batch to a directory writes per-file artifacts and
+    aggregated metrics (reference 5588-5620)."""
+    out = tmp_path / "batch"
+    metrics = tmp_path / "agg.json"
+    rc, stdout, stderr = cli([
+        "--compat-fallback", "--batch", "--all-outputs",
+        "--output-dir", str(out), "--metrics", str(metrics),
+        str(simple_wav), str(simple_wav2)])
+    assert rc == 0, stderr
+    assert stdout.strip() == ""  # batch mode writes files, not stdout
+    for base in ("test_simple", "test_simple2"):
+        assert (out / f"{base}_tokens.txt").exists()
+        assert (out / f"{base}_tokens.json").exists()
+        assert (out / f"{base}_tokens.ndjson").exists()
+        assert (out / f"{base}_metrics.json").exists()
+    import json as _json
+
+    agg = _json.loads(metrics.read_text())
+    assert "avg_compression_ratio" in agg
+    assert "min_semantic_entropy" in agg and "max_semantic_entropy" in agg
+
+
+def test_multi_file_requires_output_dir_with_all_outputs(cli, simple_wav,
+                                                         simple_wav2):
+    rc, _, stderr = cli(["--compat-fallback", "--all-outputs",
+                         str(simple_wav), str(simple_wav2)])
+    assert rc != 0
+    assert "--output-dir" in stderr
+
+
 def test_text_format_output(cli, simple_wav):
     rc, stdout, _ = cli(["--compat-fallback", "--streaming", "--format",
                          "hierarchical", str(simple_wav)])
