@@ -385,9 +385,26 @@ def _execute(args, parser, pipeline, input_files: List[str],
             Path(args.metrics).write_text(json.dumps(agg, indent=2))
         return 0
 
+    # Incremental emission applies when NDJSON goes straight to stdout and
+    # no buffered artifacts are requested: frames stream out while later
+    # chunks are still tokenizing (byte-identical to the buffered path).
+    incremental = (args.ndjson_streaming and not args.streaming
+                   and not args.output
+                   and not (args.all_outputs and args.output_dir)
+                   and args.format == "hierarchical"
+                   and not args.metrics and not args.evaluate
+                   and not args.budget_report)
+
     # Case B: multi-file sequential streaming to stdout
     if multi_input:
         for path in input_files:
+            if incremental:
+                if default_mode:
+                    pipeline.stream_audio(path, logger.stdout)
+                else:
+                    with StreamLock(lock_stderr=True):
+                        pipeline.stream_audio(path, logger.stdout)
+                continue
             result = pipeline.process_audio(
                 path, output_format=args.format,
                 enable_reconstruction=enable_reconstruction,
@@ -408,6 +425,14 @@ def _execute(args, parser, pipeline, input_files: List[str],
         return 0
 
     # Case C: single input
+    if incremental:
+        if default_mode:
+            pipeline.stream_audio(input_files[0], logger.stdout)
+        else:
+            with StreamLock(lock_stderr=True):
+                pipeline.stream_audio(input_files[0], logger.stdout)
+        return 0
+
     result = pipeline.process_audio(
         input_files[0], output_format=args.format,
         enable_reconstruction=enable_reconstruction,

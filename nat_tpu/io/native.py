@@ -52,7 +52,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.serialize_dense_frames.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-            ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_size_t)]
+            ctypes.c_int, ctypes.c_double, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_size_t)]
         lib.nat_free.argtypes = [ctypes.c_void_p]
         lib.pcm16_to_float_mono.restype = ctypes.c_int64
         lib.pcm16_to_float_mono.argtypes = [
@@ -73,7 +74,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 def serialize_dense_frames(sem: np.ndarray, acc: np.ndarray,
-                           frame_dur_ms: float) -> Optional[str]:
+                           frame_dur_ms: float,
+                           fi_base: int = 0) -> Optional[str]:
     """C++ dense-frame NDJSON serialization; None → use the Python path."""
     lib = get_lib()
     if lib is None:
@@ -85,13 +87,19 @@ def serialize_dense_frames(sem: np.ndarray, acc: np.ndarray,
     ptr = lib.serialize_dense_frames(
         sem.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sem.shape[0],
         acc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), acc.shape[0],
-        num_frames, float(frame_dur_ms), ctypes.byref(out_len))
+        num_frames, float(frame_dur_ms), int(fi_base), ctypes.byref(out_len))
     if not ptr:
         return None
     try:
         return ctypes.string_at(ptr, out_len.value).decode()
     finally:
         lib.nat_free(ptr)
+
+
+def serialize_dense_frames_offset(sem: np.ndarray, acc: np.ndarray,
+                                  frame_dur_ms: float,
+                                  fi_base: int) -> Optional[str]:
+    return serialize_dense_frames(sem, acc, frame_dur_ms, fi_base=fi_base)
 
 
 def pcm_to_float_mono(data: bytes, bits: int, channels: int) -> Optional[np.ndarray]:

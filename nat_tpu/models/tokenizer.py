@@ -314,7 +314,14 @@ class NeuralAudioTokenizer:
     # ------------------------------------------------------------------
     # Public host API (reference-shaped result dict)
     # ------------------------------------------------------------------
-    def __call__(self, waveform, actual_sample_rate: Optional[int] = None) -> Dict:
+    def iter_chunks(self, waveform, actual_sample_rate: Optional[int] = None):
+        """Tokenize incrementally: yields one dict per chunk with
+        ``semantic_codes``/``acoustic_codes`` ``[N, B, t]``, optional
+        ``reconstructed`` ``[B, samples]``, ``losses``, and features.
+
+        This is the streaming producer: consumers can serialize each chunk's
+        frames while later chunks are still on the device.
+        """
         self.ensure_initialized()
         wave = np.atleast_2d(np.asarray(waveform, dtype=np.float32))
         if actual_sample_rate and actual_sample_rate != self.sample_rate:
@@ -338,10 +345,6 @@ class NeuralAudioTokenizer:
         spans = chunk_spans(total, self.sample_rate, overlap=overlap)
         if len(spans) == 1:
             overlap = 0
-        sem_parts: List[np.ndarray] = []
-        acc_parts: List[np.ndarray] = []
-        recon_parts: List[np.ndarray] = []
-        losses: Dict[str, float] = {}
         for start, length in spans:
             ext_start = max(0, start - overlap)
             ext_end = min(total, start + length + overlap)
@@ -350,7 +353,7 @@ class NeuralAudioTokenizer:
             bucket = bucket_length(ext_len, self.sample_rate)
             if ext_len < bucket:
                 chunk = np.pad(chunk, ((0, 0), (0, bucket - ext_len)))
-            forward, t_target_bucket = self._forward_for(bucket)
+            forward, _ = self._forward_for(bucket)
             self._rng, rng = jax.random.split(self._rng)
             out = forward(self.params, self.sem_rvq, self.acc_rvq,
                           jnp.asarray(chunk), rng)
@@ -364,16 +367,35 @@ class NeuralAudioTokenizer:
                     ext_len / max(valid_t, 1))
                 keep = (centers >= start) & (centers < start + length)
                 sem, acc = sem[:, :, keep], acc[:, :, keep]
-            sem_parts.append(sem)
-            acc_parts.append(acc)
+            reconstructed = None
             if out["reconstructed"] is not None:
                 valid_samples = min(valid_t * self.hop_length, ext_len)
                 recon = np.asarray(out["reconstructed"])[:, :valid_samples]
                 if overlap:
                     lo = start - ext_start
                     recon = recon[:, lo:lo + length]
-                recon_parts.append(recon)
-            losses = {k: float(v) for k, v in out["losses"].items()}
+                reconstructed = recon
+            yield {
+                "semantic_codes": sem,
+                "acoustic_codes": acc,
+                "reconstructed": reconstructed,
+                "losses": {k: float(v) for k, v in out["losses"].items()},
+                "semantic_features": np.asarray(out["semantic_features"]),
+                "acoustic_features": np.asarray(out["acoustic_features"]),
+            }
+
+    def __call__(self, waveform, actual_sample_rate: Optional[int] = None) -> Dict:
+        sem_parts: List[np.ndarray] = []
+        acc_parts: List[np.ndarray] = []
+        recon_parts: List[np.ndarray] = []
+        losses: Dict[str, float] = {}
+        last_out: Dict = {}
+        for out in self.iter_chunks(waveform, actual_sample_rate):
+            sem_parts.append(out["semantic_codes"])
+            acc_parts.append(out["acoustic_codes"])
+            if out["reconstructed"] is not None:
+                recon_parts.append(out["reconstructed"])
+            losses = out["losses"]
             last_out = out
 
         sem_codes = np.concatenate(sem_parts, axis=-1)
@@ -386,8 +408,8 @@ class NeuralAudioTokenizer:
             "acoustic_codes": [acc_codes[i] for i in range(acc_codes.shape[0])],
             "losses": losses,
             "reconstructed": reconstructed,
-            "semantic_features": np.asarray(last_out["semantic_features"]),
-            "acoustic_features": np.asarray(last_out["acoustic_features"]),
+            "semantic_features": last_out["semantic_features"],
+            "acoustic_features": last_out["acoustic_features"],
             "num_frames": int(t_total),
         }
 

@@ -369,6 +369,103 @@ class AudioTokenizationPipeline:
         }
 
     # ------------------------------------------------------------------
+    def stream_audio(self, file_path: str, write) -> Dict[str, Any]:
+        """Incremental NDJSON emission: header → frames per chunk as the
+        device finishes them → end with full stats.
+
+        ``write(line)`` is called for every NDJSON line as soon as it is
+        available — for long inputs the first frames stream out while later
+        chunks are still tokenizing on the accelerator.  The emitted byte
+        stream is identical to :meth:`process_audio`'s buffered
+        ``ndjson_output``.  Requires the neural tokenizer (compat mode is
+        single-shot; it falls back to buffered emission).
+        """
+        logger.info(f"Processing (streaming): {file_path}")
+        start_time = time.time()
+        self.budget_meter.reset()
+
+        if not hasattr(self.tokenizer, "iter_chunks"):
+            result = self.process_audio(file_path, ndjson_streaming=True)
+            for line in (result["ndjson_output"] or "").splitlines():
+                write(line)
+            return result
+
+        with annotate("nat/load_audio"):
+            audio, sr = self.load_audio(file_path)
+        duration = len(audio) / sr
+        audio_hash = self._audio_sha256(audio)
+        self.streaming.ndjson_streamer.audio_sha256 = audio_hash
+
+        write(self.streaming.begin_stream(
+            metadata={
+                "file_path": file_path,
+                "sample_rate": sr,
+                "processing_sample_rate": self.sample_rate,
+                "duration": duration,
+                "audio_sha256": audio_hash,
+                "model_id": self.model_id,
+                "compat_mode": self.compat_mode,
+            },
+            duration_seconds=duration,
+            include_legend=self.include_legend))
+
+        sem_parts = []
+        acc_parts = []
+        recon_parts = []
+        encode_start = time.time()
+        with annotate("nat/tokenize"):
+            for out in self.tokenizer.iter_chunks(audio[None, :],
+                                                  actual_sample_rate=sr):
+                sem, acc = out["semantic_codes"], out["acoustic_codes"]
+                for line in self.streaming.feed_frames(sem[:, 0], acc[:, 0]):
+                    write(line)
+                sem_parts.append(sem)
+                acc_parts.append(acc)
+                if out["reconstructed"] is not None:
+                    recon_parts.append(out["reconstructed"])
+        encoding_time = time.time() - encode_start
+
+        sem_codes = np.concatenate(sem_parts, axis=-1)
+        acc_codes = np.concatenate(acc_parts, axis=-1)
+        result = {
+            "semantic_codes": [sem_codes[i] for i in range(sem_codes.shape[0])],
+            "acoustic_codes": [acc_codes[i] for i in range(acc_codes.shape[0])],
+        }
+        reconstructed = (np.concatenate(recon_parts, axis=-1).reshape(-1)
+                         if recon_parts else None)
+        num_frames = int(sem_codes.shape[-1])
+        num_sem = int(sem_codes.size)
+        num_acc = int(acc_codes.size)
+        self.budget_meter.sample_rate = sr
+        self.budget_meter.update(len(audio), num_frames, num_sem, num_acc)
+
+        self.evaluator.sample_rate = sr
+        with annotate("nat/evaluate"):
+            metrics = self.evaluator.evaluate_tokenization(
+                audio, self.tokenizer, reconstructed,
+                precomputed_result=result, encoding_time=encoding_time)
+        budget_metrics = self.budget_meter.get_metrics()
+        for line in self.streaming.end_stream(
+                {**asdict(metrics), **asdict(budget_metrics)}):
+            write(line)
+
+        logger.info(f"Streaming complete in {time.time() - start_time:.2f}s")
+        return {
+            **result,
+            "metrics": metrics,
+            "budget_metrics": budget_metrics,
+            "num_frames": num_frames,
+            "metadata": {
+                "file_path": file_path,
+                "sample_rate": sr,
+                "duration": duration,
+                "audio_sha256": audio_hash,
+                "model_id": self.model_id,
+                "compat_mode": self.compat_mode,
+            },
+        }
+
+    # ------------------------------------------------------------------
     def batch_process(
         self,
         input_paths: List[str],

@@ -197,6 +197,113 @@ class StreamingProtocol:
         lines.append(streamer.create_end_marker(processing_stats))
         return "\n".join(lines)
 
+    # -- incremental emission (chunk-streaming; beyond the reference) ---------
+    def begin_stream(self, metadata: Optional[dict] = None,
+                     duration_seconds: Optional[float] = None,
+                     include_legend: bool = True) -> str:
+        """Start an incremental stream: returns the header line and resets
+        all cross-frame state.  Follow with :meth:`feed_frames` per chunk
+        and :meth:`end_stream`.  Produces byte-identical output to
+        :meth:`create_ndjson_stream` over the same frames."""
+        self.ndjson_streamer.reset()
+        self._inc_frame_idx = 0
+        self._inc_prev_sem: Optional[np.ndarray] = None
+        self._inc_prev_acc: Optional[np.ndarray] = None
+        self._inc_last_keyframe_ms = 0.0
+        return self.ndjson_streamer.create_header(
+            duration_seconds, metadata, include_legend)
+
+    def feed_frames(self, sem: np.ndarray, acc: np.ndarray) -> List[str]:
+        """Serialize one chunk's dense token matrices ``[L, t]``; returns
+        the NDJSON lines ready to emit (possibly empty under RLE)."""
+        streamer = self.ndjson_streamer
+        frame_dur = streamer.frame_duration_ms
+        sem = np.asarray(sem, dtype=np.int64)
+        acc = np.asarray(acc, dtype=np.int64)
+        t = min(sem.shape[1], acc.shape[1])
+        sem, acc = sem[:, :t], acc[:, :t]
+        lines: List[str] = []
+
+        if not self.rle_mode:
+            from ..io import native as native_host
+
+            base = self._inc_frame_idx
+            text = native_host.serialize_dense_frames_offset(
+                sem, acc, frame_dur, base) if hasattr(
+                    native_host, "serialize_dense_frames_offset") else None
+            if text is None:
+                for i in range(t):
+                    fi = base + i
+                    lines.append(json.dumps(
+                        {"event": "frame", "fi": fi,
+                         "ts": round(fi * frame_dur, 3),
+                         "dur": round(frame_dur, 3),
+                         "S": sem[:, i].tolist(), "A": acc[:, i].tolist()},
+                        separators=(",", ":")))
+            else:
+                lines.extend(text.rstrip("\n").splitlines())
+            self._inc_frame_idx += t
+            return lines
+
+        # RLE: change masks continue across chunk boundaries via prev state.
+        prev_s = self._inc_prev_sem
+        prev_a = self._inc_prev_acc
+        changed_s = np.ones_like(sem, dtype=bool)
+        changed_a = np.ones_like(acc, dtype=bool)
+        if prev_s is not None:
+            changed_s[:, 0] = sem[:, 0] != prev_s
+            changed_a[:, 0] = acc[:, 0] != prev_a
+        changed_s[:, 1:] = sem[:, 1:] != sem[:, :-1]
+        changed_a[:, 1:] = acc[:, 1:] != acc[:, :-1]
+
+        # Iterate only frames that emit (change or keyframe); unchanged runs
+        # are folded into buffered durations via the same elapsed-frames
+        # multiply the batch path uses, so output is bit-identical to
+        # create_ndjson_stream (per-frame += accumulation differs in ulps).
+        interval_ms = self.keyframe_interval_seconds * 1000.0
+        any_change = changed_s.any(axis=0) | changed_a.any(axis=0)
+        for i in range(t):
+            fi = self._inc_frame_idx + i
+            time_ms = fi * frame_dur
+            is_keyframe = (time_ms - self._inc_last_keyframe_ms
+                           >= interval_ms)
+            if not is_keyframe and not any_change[i]:
+                continue
+            if is_keyframe:
+                self._inc_last_keyframe_ms = time_ms
+                if streamer.buffered_event is not None:
+                    elapsed = (fi - 1) - streamer.last_frame_index
+                    if elapsed > 0:
+                        streamer.buffered_event["dur"] += elapsed * frame_dur
+                        streamer.last_frame_index = fi - 1
+                out = streamer.create_frame(
+                    fi, time_ms, sem[:, i].tolist(), acc[:, i].tolist(),
+                    is_keyframe=True)
+            else:
+                changed = [f"S{l}" for l in np.nonzero(changed_s[:, i])[0]]
+                changed += [f"A{l}" for l in np.nonzero(changed_a[:, i])[0]]
+                out = streamer.create_frame(
+                    fi, time_ms, sem[:, i].tolist(), acc[:, i].tolist(),
+                    changed_layers=changed)
+            if out:
+                lines.extend(out.splitlines())
+        self._inc_frame_idx += t
+        if t:
+            self._inc_prev_sem = sem[:, -1].copy()
+            self._inc_prev_acc = acc[:, -1].copy()
+        return lines
+
+    def end_stream(self, processing_stats: Optional[dict] = None) -> List[str]:
+        """Finish the incremental stream (flushes RLE state + end event)."""
+        streamer = self.ndjson_streamer
+        if self.rle_mode and streamer.buffered_event is not None:
+            tail = (self._inc_frame_idx - 1) - streamer.last_frame_index
+            if tail > 0:
+                streamer.buffered_event["dur"] += (
+                    tail * streamer.frame_duration_ms)
+                streamer.last_frame_index = self._inc_frame_idx - 1
+        return streamer.create_end_marker(processing_stats).splitlines()
+
     # -- legacy chunked text protocol (reference 4367-4412) -------------------
     def create_stream_header(self, sample_rate: int, total_samples: int,
                              metadata: Optional[dict] = None) -> str:

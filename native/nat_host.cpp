@@ -52,10 +52,11 @@ extern "C" {
 char *serialize_dense_frames(const int32_t *sem, int num_sem_layers,
                              const int32_t *acc, int num_acc_layers,
                              int num_frames, double frame_dur_ms,
-                             size_t *out_len) {
+                             int64_t fi_base, size_t *out_len) {
     std::string out;
     out.reserve((size_t)num_frames * (64 + 8 * (num_sem_layers + num_acc_layers)));
-    for (int fi = 0; fi < num_frames; ++fi) {
+    for (int i = 0; i < num_frames; ++i) {
+        const int64_t fi = fi_base + i;
         out += "{\"event\":\"frame\",\"fi\":";
         append_int(out, fi);
         out += ",\"ts\":";
@@ -65,12 +66,12 @@ char *serialize_dense_frames(const int32_t *sem, int num_sem_layers,
         out += ",\"S\":[";
         for (int l = 0; l < num_sem_layers; ++l) {
             if (l) out += ',';
-            append_int(out, sem[(size_t)l * num_frames + fi]);
+            append_int(out, sem[(size_t)l * num_frames + i]);
         }
         out += "],\"A\":[";
         for (int l = 0; l < num_acc_layers; ++l) {
             if (l) out += ',';
-            append_int(out, acc[(size_t)l * num_frames + fi]);
+            append_int(out, acc[(size_t)l * num_frames + i]);
         }
         out += "]}\n";
     }

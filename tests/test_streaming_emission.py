@@ -1,0 +1,97 @@
+"""Incremental (chunk-streaming) NDJSON emission: byte-parity with the
+buffered path for dense and RLE modes, across chunk boundaries."""
+
+import numpy as np
+import pytest
+
+from nat_tpu.stream.protocol import StreamingProtocol
+
+
+def _proto(**kwargs):
+    return StreamingProtocol(sample_rate=22050, hop_length=512,
+                             codebook_size=1024, **kwargs)
+
+
+def _tokens_dict(sem, acc):
+    return {
+        "semantic_codes": [sem[i][None, :] for i in range(sem.shape[0])],
+        "acoustic_codes": [acc[i][None, :] for i in range(acc.shape[0])],
+    }
+
+
+def _incremental(proto, sem, acc, chunk_sizes):
+    lines = [proto.begin_stream(duration_seconds=1.0)]
+    pos = 0
+    for size in chunk_sizes:
+        lines.extend(proto.feed_frames(sem[:, pos:pos + size],
+                                       acc[:, pos:pos + size]))
+        pos += size
+    lines.extend(proto.end_stream())
+    return "\n".join(lines)
+
+
+@pytest.mark.parametrize("rle", [False, True])
+@pytest.mark.parametrize("chunks", [[100], [40, 35, 25], [1] * 10 + [90]])
+def test_incremental_matches_buffered(rle, chunks):
+    rng = np.random.default_rng(0)
+    # Slow semantic (RLE-friendly runs) + fast acoustic
+    sem = np.repeat(rng.integers(0, 6, (4, 10)), 10, axis=1)
+    acc = rng.integers(0, 1024, (4, 100))
+
+    buffered = _proto(rle_mode=rle).create_ndjson_stream(
+        _tokens_dict(sem, acc), duration_seconds=1.0)
+    incremental = _incremental(_proto(rle_mode=rle), sem, acc, chunks)
+    assert incremental == buffered
+
+
+def test_incremental_rle_keyframes_match():
+    # Long enough for several keyframes (1000 frames ≈ 23 s)
+    sem = np.full((4, 1000), 3)
+    acc = np.full((4, 1000), 7)
+    buffered = _proto(rle_mode=True).create_ndjson_stream(
+        _tokens_dict(sem, acc), duration_seconds=23.2)
+    incremental = _incremental(_proto(rle_mode=True), sem, acc,
+                               [300, 300, 400])
+    # Header duration differs (23.2 vs 1.0 default); compare frame bodies
+    buf_events = buffered.splitlines()[1:]
+    inc_events = incremental.splitlines()[1:]
+    assert inc_events == buf_events
+
+
+def test_pipeline_stream_audio_matches_buffered(tmp_path):
+    """End-to-end: stream_audio's emitted lines == process_audio's buffered
+    ndjson_output (neural CPU path, multi-chunk 40 s input)."""
+    from nat_tpu.io.audio import write_wav
+    from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
+
+    sr = 22050
+    t = np.arange(int(sr * 40)) / sr
+    x = (np.sin(2 * np.pi * 330 * t) * 0.5
+         + 0.2 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    path = tmp_path / "long.wav"
+    write_wav(str(path), x, sr)
+
+    def make_pipeline():
+        return AudioTokenizationPipeline(
+            model_config={"codebook_size": 64},
+            enable_compat_fallback=False,
+            deterministic=True,
+            enable_reconstruction=False,
+            codebook_init_method="random",
+            enable_codebook_cache=False,
+        )
+
+    p1 = make_pipeline()
+    if p1.compat_mode:
+        pytest.skip("neural path unavailable")
+    buffered = p1.process_audio(str(path), ndjson_streaming=True)
+
+    p2 = make_pipeline()
+    streamed_lines = []
+    p2.stream_audio(str(path), streamed_lines.append)
+
+    buf_lines = buffered["ndjson_output"].splitlines()
+    # stats carry wall-clock values; compare all lines except `end`
+    assert streamed_lines[:-1] == buf_lines[:-1]
+    assert '"event":"end"' in streamed_lines[-1]
+    assert len(streamed_lines) == len(buf_lines)
