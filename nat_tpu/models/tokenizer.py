@@ -101,7 +101,10 @@ class NeuralAudioTokenizer:
         on_accelerator = any(d.platform not in ("cpu",) for d in jax.devices())
         if use_pallas is None:
             use_pallas = on_accelerator
-        self.use_pallas = use_pallas and not stochastic
+        # The fused kernel covers argmin AND in-kernel Gumbel sampling, but
+        # its PRNG primitive only lowers on real TPUs.
+        self.use_pallas = use_pallas and (
+            not stochastic or on_accelerator)
         # bf16 compute on the MXU roughly doubles encoder throughput; params
         # stay float32 and RVQ distances are always float32, so only feature
         # values (not token determinism within a config) are affected.
@@ -266,11 +269,19 @@ class NeuralAudioTokenizer:
             sem_a, acc_a = align(sem_feats), align(acc_feats)
 
             rng_s, rng_a = jax.random.split(rng)
-            if use_pallas and not stochastic:
+            if use_pallas:
                 from ..ops.rvq_pallas import rvq_encode_pallas
 
-                sem_codes, sem_q = rvq_encode_pallas(sem_rvq, sem_a)
-                acc_codes, acc_q = rvq_encode_pallas(acc_rvq, acc_a)
+                if stochastic:
+                    temp = self.temperature
+                    seed_s = jax.random.randint(rng_s, (), 0, 2**31 - 1)
+                    seed_a = jax.random.randint(rng_a, (), 0, 2**31 - 1)
+                else:
+                    temp, seed_s, seed_a = None, None, None
+                sem_codes, sem_q = rvq_encode_pallas(
+                    sem_rvq, sem_a, temperature=temp, seed=seed_s)
+                acc_codes, acc_q = rvq_encode_pallas(
+                    acc_rvq, acc_a, temperature=temp, seed=seed_a)
                 losses = {"total_vq_loss": jnp.float32(0.0)}
             else:
                 sem_codes, sem_q, sem_losses = rvq_encode(

@@ -38,11 +38,12 @@ TILE_M = 256          # frames per tile
 CHUNK_K = 512         # codebook rows streamed per grid step
 
 
-def _rvq_kernel(n_layers, x_ref, cb_ref, *refs):
+def _rvq_kernel(n_layers, temperature, x_ref, seed_ref, cb_ref, *refs):
     codes_refs = refs[:n_layers]
     qsum_ref = refs[n_layers]
     residual, run_min, run_idx, run_vec = refs[n_layers + 1:]
 
+    i = pl.program_id(0)
     n = pl.program_id(1)
     c = pl.program_id(2)
     num_chunks = pl.num_programs(2)
@@ -68,6 +69,24 @@ def _rvq_kernel(n_layers, x_ref, cb_ref, *refs):
                     precision=jax.lax.Precision.HIGHEST)
     dist = r_sq - 2.0 * cross + c_sq                    # [TM, KC]
 
+    if temperature is not None:
+        # Stochastic mode: Gumbel-max over -cdist/τ with the on-chip PRNG
+        # (equivalent in distribution to the reference's softmax(-cdist/τ) +
+        # multinomial over *euclidean* distances, 2146-2154). The running-min
+        # trick still works: each code's perturbed score is computed once.
+        pltpu.prng_seed(seed_ref[0] + ((i * 1315423911) ^ (n * 1640531527)
+                                       ^ (c * 97531)))
+        # prng_random_bits yields int32; logical-shift as uint32 (an
+        # arithmetic shift sign-extends and forges NaN exponents), then
+        # map the top 23 bits into a [1, 2) float mantissa and subtract 1.
+        bits = pltpu.bitcast(pltpu.prng_random_bits(dist.shape), jnp.uint32)
+        fbits = pltpu.bitcast(
+            (bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+        uniform = jnp.clip(fbits - 1.0, 1e-7, 1.0 - 1e-7)
+        gumbel = -jnp.log(-jnp.log(uniform))
+        euclid = jnp.sqrt(jnp.maximum(dist, 0.0))
+        dist = euclid / temperature - gumbel  # min == argmax of logits + g
+
     cmin = jnp.min(dist, axis=1, keepdims=True)         # [TM, 1]
     local_idx = jnp.argmin(dist, axis=1)[:, None]       # [TM, 1]
     onehot = (jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
@@ -92,22 +111,26 @@ def _rvq_kernel(n_layers, x_ref, cb_ref, *refs):
             codes_refs[li][:] = run_idx[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("temperature", "interpret"))
 def _rvq_pallas_flat(codebook: jnp.ndarray, x: jnp.ndarray,
+                     seed: jnp.ndarray,
+                     temperature=None,
                      interpret: bool = False):
     """codebook [N, K, D], x [M, D] (M multiple of TILE_M) →
-    (codes [N, M], qsum [M, D])."""
+    (codes [N, M], qsum [M, D]).  ``temperature=None`` → argmin;
+    a float → Gumbel-max sampling seeded by ``seed`` (int32 [1])."""
     n_layers, k, d = codebook.shape
     m = x.shape[0]
     assert m % TILE_M == 0 and k % CHUNK_K == 0
     grid = (m // TILE_M, n_layers, k // CHUNK_K)
 
     outs = pl.pallas_call(
-        functools.partial(_rvq_kernel, n_layers),
+        functools.partial(_rvq_kernel, n_layers, temperature),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_M, d), lambda i, n, c: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, CHUNK_K, d), lambda i, n, c: (n, c, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -138,7 +161,7 @@ def _rvq_pallas_flat(codebook: jnp.ndarray, x: jnp.ndarray,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, codebook)
+    )(x, seed, codebook)
     codes = jnp.concatenate([o.T for o in outs[:n_layers]], axis=0)  # [N, M]
     return codes, outs[n_layers]
 
@@ -146,18 +169,28 @@ def _rvq_pallas_flat(codebook: jnp.ndarray, x: jnp.ndarray,
 def rvq_encode_pallas(
     state: RVQState,
     x: jnp.ndarray,          # [B, T, D]
+    temperature: float = None,
+    seed=None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused argmin RVQ encode: ``[B, T, D]`` → (codes [N, B, T],
-    quantized [B, T, D]).  Pads the time axis to the tile size; padding
-    frames quantize to garbage that is sliced off before returning."""
+    """Fused RVQ encode: ``[B, T, D]`` → (codes [N, B, T],
+    quantized [B, T, D]).  ``temperature=None`` → deterministic argmin;
+    a float enables in-kernel Gumbel-max sampling (``seed`` int).  Pads the
+    time axis to the tile size; padding frames quantize to garbage that is
+    sliced off before returning."""
     b, t, d = x.shape
     m = b * t
     m_pad = -(-m // TILE_M) * TILE_M
     flat = x.reshape(m, d)
     if m_pad != m:
         flat = jnp.pad(flat, ((0, m_pad - m), (0, 0)))
-    codes, qsum = _rvq_pallas_flat(state.codebook, flat, interpret=interpret)
+    if seed is None:
+        seed_arr = jnp.zeros((1,), dtype=jnp.int32)
+    else:  # accepts python ints and traced scalars alike
+        seed_arr = jnp.asarray(seed, dtype=jnp.int32).reshape(1)
+    codes, qsum = _rvq_pallas_flat(state.codebook, flat, seed_arr,
+                                   temperature=temperature,
+                                   interpret=interpret)
     n = state.num_layers
     return (codes[:, :m].reshape(n, b, t),
             qsum[:m].reshape(b, t, d))

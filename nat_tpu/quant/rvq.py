@@ -86,8 +86,12 @@ def _select_codes(dist: jnp.ndarray, temperature: float,
     if stochastic:
         if rng is None:
             raise ValueError("stochastic quantization requires a PRNG key")
+        # Reference samples softmax(-cdist/τ) over *euclidean* distances
+        # (torch.cdist, reference 2146-2154); sampling over squared
+        # distances would collapse to argmin at any realistic τ.
         gumbel = jax.random.gumbel(rng, dist.shape, dtype=dist.dtype)
-        return jnp.argmax(-dist / temperature + gumbel, axis=-1)
+        euclid = jnp.sqrt(jnp.maximum(dist, 0.0))
+        return jnp.argmax(-euclid / temperature + gumbel, axis=-1)
     return jnp.argmin(dist, axis=-1)
 
 

@@ -159,6 +159,36 @@ class TestPallasKernel:
         np.testing.assert_allclose(np.asarray(quant_pl)[agree],
                                    np.asarray(quant_ref)[agree], atol=1e-4)
 
+    def test_kernel_stochastic_sampling(self):
+        """In-kernel Gumbel sampling: seeded-reproducible, seed-sensitive,
+        and converging to argmin at low temperature.
+
+        Requires a real TPU: the Pallas interpreter has no CPU lowering for
+        `prng_seed` (validated on hardware; see tools/validate_tpu_kernels.py).
+        """
+        if not any(d.platform == "tpu" for d in jax.devices()):
+            pytest.skip("in-kernel PRNG needs a real TPU")
+        from nat_tpu.ops.rvq_pallas import rvq_encode_pallas
+
+        state = init_rvq_state(jax.random.PRNGKey(3), num_layers=2,
+                               codebook_size=512, dim=128)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((1, 256, 128)).astype(np.float32))
+
+        c1, _ = rvq_encode_pallas(state, x, temperature=0.5, seed=7)
+        c2, _ = rvq_encode_pallas(state, x, temperature=0.5, seed=7)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        c3, _ = rvq_encode_pallas(state, x, temperature=0.5, seed=8)
+        assert np.any(np.asarray(c1) != np.asarray(c3))
+
+        det, _ = rvq_encode_pallas(state, x)
+        cold, _ = rvq_encode_pallas(state, x, temperature=1e-6, seed=7)
+        match = np.mean(np.asarray(det) == np.asarray(cold))
+        assert match > 0.99
+        # Moderate temperature must actually explore
+        hot_match = np.mean(np.asarray(det) == np.asarray(c1))
+        assert hot_match < 1.0
+
     def test_kernel_padding_invariance(self):
         """Same tokens whether T is tile-aligned or ragged."""
         from nat_tpu.ops.rvq_pallas import rvq_encode_pallas
