@@ -49,7 +49,14 @@ def make_train_state(tokenizer, optimizer, mesh=None) -> TrainState:
         sem_rvq = jax.device_put(tokenizer.sem_rvq, rvq_state_sharding(mesh))
         acc_rvq = jax.device_put(tokenizer.acc_rvq, rvq_state_sharding(mesh))
     else:
-        sem_rvq, acc_rvq = tokenizer.sem_rvq, tokenizer.acc_rvq
+        # Deep-copy: the train step donates its input state, and aliasing
+        # the tokenizer's own arrays would delete them on the first step.
+        params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                        params)
+        sem_rvq = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                         tokenizer.sem_rvq)
+        acc_rvq = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                         tokenizer.acc_rvq)
     opt_state = optimizer.init(params)
     return TrainState(params, opt_state, sem_rvq, acc_rvq,
                       jnp.zeros((), jnp.int32))
