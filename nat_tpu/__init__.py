@@ -25,6 +25,8 @@ __all__ = [
     "TokenFormatter",
     "TokenBudgetMeter",
     "TokenizationEvaluator",
+    "Trainer",
+    "DataParallelRunner",
 ]
 
 
@@ -67,4 +69,12 @@ def __getattr__(name):
         from .eval.metrics import TokenizationEvaluator
 
         return TokenizationEvaluator
+    if name == "Trainer":
+        from .runtime.trainer import Trainer
+
+        return Trainer
+    if name == "DataParallelRunner":
+        from .parallel.runner import DataParallelRunner
+
+        return DataParallelRunner
     raise AttributeError(f"module 'nat_tpu' has no attribute {name!r}")

@@ -157,6 +157,60 @@ def decode_au(data: bytes) -> Tuple[np.ndarray, int]:
     return np.ascontiguousarray(samples, dtype=np.float32), int(sample_rate)
 
 
+def decode_aiff(data: bytes) -> Tuple[np.ndarray, int]:
+    """Parse an AIFF/AIFC byte string (big-endian PCM)."""
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("Not an AIFF stream")
+    channels = 1
+    bits = 16
+    sample_rate = RAW_FALLBACK_SR
+    payload: Optional[bytes] = None
+
+    pos = 12
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        (chunk_size,) = struct.unpack_from(">I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + chunk_size]
+        if chunk_id == b"COMM" and len(body) >= 18:
+            channels, _frames, bits = struct.unpack_from(">HIH", body, 0)
+            # Sample rate is an 80-bit IEEE extended float
+            exp = struct.unpack_from(">H", body, 8)[0]
+            mant_hi, mant_lo = struct.unpack_from(">II", body, 10)
+            mantissa = (mant_hi << 32) | mant_lo
+            if exp != 0 or mantissa != 0:
+                sign = -1.0 if exp & 0x8000 else 1.0
+                e = (exp & 0x7FFF) - 16383
+                sample_rate = int(round(sign * mantissa * 2.0 ** (e - 63)))
+        elif chunk_id == b"SSND":
+            (offset,) = struct.unpack_from(">I", body, 0)
+            payload = body[8 + offset:]
+        pos += 8 + chunk_size + (chunk_size & 1)
+
+    if payload is None:
+        raise ValueError("AIFF stream missing SSND chunk")
+    if bits == 8:
+        samples = np.frombuffer(payload, dtype=">i1").astype(np.float32) / 128.0
+    elif bits == 16:
+        samples = np.frombuffer(payload, dtype=">i2").astype(np.float32) / 32768.0
+    elif bits == 24:
+        b = np.frombuffer(payload, dtype=np.uint8)
+        n = len(b) // 3
+        b = b[: n * 3].reshape(n, 3)
+        val = ((b[:, 0].astype(np.int32) << 16)
+               | (b[:, 1].astype(np.int32) << 8)
+               | b[:, 2].astype(np.int32))
+        val = np.where(val & 0x800000, val - (1 << 24), val)
+        samples = val.astype(np.float32) / 8388608.0
+    elif bits == 32:
+        samples = np.frombuffer(payload, dtype=">i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"Unsupported AIFF bit depth: {bits}")
+    if channels > 1:
+        n = len(samples) // channels
+        samples = samples[: n * channels].reshape(n, channels).mean(axis=1)
+    return np.ascontiguousarray(samples, dtype=np.float32), int(sample_rate)
+
+
 def decode_raw_pcm16(data: bytes, sample_rate: int = RAW_FALLBACK_SR) -> Tuple[np.ndarray, int]:
     """Reinterpret arbitrary bytes as 16-bit LE PCM — the terminal fallback."""
     usable = len(data) - (len(data) % 2)
@@ -172,6 +226,8 @@ def decode_bytes(data: bytes, allow_raw_fallback: bool = True) -> Tuple[np.ndarr
             return decode_wav(data)
         if head[:4] == b".snd":
             return decode_au(data)
+        if head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
+            return decode_aiff(data)
     except Exception as exc:
         logger.warn(f"Container decode failed ({exc}); falling back to raw PCM")
         if not allow_raw_fallback:

@@ -30,6 +30,8 @@ def detect_audio_format(data: bytes) -> str:
         return ".m4a"
     if head[:4] == b".snd":
         return ".au"
+    if head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
+        return ".aiff"
     return ".raw"
 
 

@@ -70,6 +70,31 @@ class TestWavRoundtrip:
         assert sr == 8000
         assert np.max(np.abs(decoded)) < 1e-3
 
+    def test_aiff_16bit_roundtrip(self):
+        sig = _sine()
+        pcm = (np.clip(sig, -1, 1) * 32767).astype(">i2").tobytes()
+        # 80-bit extended float for 22050 Hz: exponent 16397, mantissa top
+        sr = 22050
+        import math
+
+        m, e = math.frexp(sr)
+        mantissa = int(m * (1 << 64))
+        exp = e - 1 + 16383
+        comm = struct.pack(">HIH", 1, len(sig), 16) + struct.pack(
+            ">H", exp) + struct.pack(">II", (mantissa >> 32) & 0xFFFFFFFF,
+                                     mantissa & 0xFFFFFFFF)
+        ssnd = struct.pack(">II", 0, 0) + pcm
+        body = (b"COMM" + struct.pack(">I", len(comm)) + comm
+                + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+        aiff = b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFF" + body
+        decoded, got_sr = audio_io.decode_aiff(aiff)
+        assert got_sr == sr
+        assert np.max(np.abs(decoded - sig)) < 2.0 / 32768
+        # and via the generic decoder + magic sniffing
+        decoded2, _ = audio_io.decode_bytes(aiff)
+        np.testing.assert_array_equal(decoded2, decoded)
+        assert detect_audio_format(aiff) == ".aiff"
+
     def test_raw_fallback(self):
         garbage = bytes(range(256)) * 8
         decoded, sr = audio_io.decode_bytes(garbage)
