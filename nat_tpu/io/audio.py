@@ -228,13 +228,17 @@ def decode_bytes(data: bytes, allow_raw_fallback: bool = True) -> Tuple[np.ndarr
             return decode_au(data)
         if head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
             return decode_aiff(data)
+        if head[:4] == b"fLaC":
+            from .flac import decode_flac
+
+            return decode_flac(data)
     except Exception as exc:
         logger.warn(f"Container decode failed ({exc}); falling back to raw PCM")
         if not allow_raw_fallback:
             raise
-    if head[:4] in (b"fLaC", b"OggS") or head[:3] == b"ID3" or head[4:8] == b"ftyp":
-        compressed = {b"fLaC": "FLAC", b"OggS": "OGG"}.get(head[:4], None)
-        name = compressed or ("MP3" if head[:3] == b"ID3" else "M4A")
+    if head[:4] == b"OggS" or head[:3] == b"ID3" or head[4:8] == b"ftyp":
+        name = ("OGG" if head[:4] == b"OggS"
+                else "MP3" if head[:3] == b"ID3" else "M4A")
         if not allow_raw_fallback:
             raise ValueError(f"{name} decoding requires an external decoder")
         logger.warn(
