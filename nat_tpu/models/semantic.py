@@ -63,7 +63,7 @@ class FeatureExtractor(nn.Module):
             if i == 0:  # base config: group-norm after the first conv only
                 h = nn.GroupNorm(num_groups=dim, dtype=self.dtype,
                                  name="group_norm")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)  # HF uses exact erf GELU
         return h
 
 
@@ -79,7 +79,8 @@ class TransformerLayer(nn.Module):
             dtype=self.dtype, name="attention")(x, x)
         x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x + attn)
         ffn = nn.Dense(FFN_DIM, dtype=self.dtype, name="fc1")(x)
-        ffn = nn.Dense(HIDDEN, dtype=self.dtype, name="fc2")(nn.gelu(ffn))
+        ffn = nn.Dense(HIDDEN, dtype=self.dtype,
+                       name="fc2")(nn.gelu(ffn, approximate=False))
         return nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x + ffn)
 
 
@@ -101,7 +102,7 @@ class Wav2Vec2Encoder(nn.Module):
                       feature_group_count=POS_CONV_GROUPS,
                       padding=[(POS_CONV_KERNEL // 2, POS_CONV_KERNEL // 2)],
                       dtype=self.dtype, name="pos_conv")(h)
-        pos = nn.gelu(pos[:, : h.shape[1], :])
+        pos = nn.gelu(pos[:, : h.shape[1], :], approximate=False)
         h = nn.LayerNorm(dtype=self.dtype, name="encoder_layer_norm")(h + pos)
 
         for i in range(NUM_LAYERS):
@@ -188,10 +189,20 @@ def convert_wav2vec2_state_dict(state_dict: Dict[str, Any]) -> Dict:
     params["fp_layer_norm"] = ln("feature_projection.layer_norm")
     params["fp_projection"] = lin("feature_projection.projection")
 
-    # weight-normed positional conv: W = g * v / ||v||  (norm over (in, k))
-    g = _np(state_dict["encoder.pos_conv_embed.conv.weight_g"])
-    v = _np(state_dict["encoder.pos_conv_embed.conv.weight_v"])
-    norm = np.sqrt((v ** 2).sum(axis=(1, 2), keepdims=True)) + 1e-12
+    # weight-normed positional conv: W = g * v / ||v||  (norm over (in, k)).
+    # Old checkpoints store weight_g/weight_v; torch ≥2.1 exports
+    # parametrizations.weight.original0/original1.
+    prefix = "encoder.pos_conv_embed.conv"
+    if f"{prefix}.weight_g" in state_dict:
+        g = _np(state_dict[f"{prefix}.weight_g"])
+        v = _np(state_dict[f"{prefix}.weight_v"])
+    else:
+        g = _np(state_dict[f"{prefix}.parametrizations.weight.original0"])
+        v = _np(state_dict[f"{prefix}.parametrizations.weight.original1"])
+    # HF applies weight_norm with dim=2 (g broadcast over out/in, one gain
+    # per kernel position); normalize over exactly the axes g broadcasts.
+    norm_axes = tuple(ax for ax in range(v.ndim) if g.shape[ax] == 1)
+    norm = np.sqrt((v ** 2).sum(axis=norm_axes, keepdims=True)) + 1e-12
     w = g * v / norm                                     # [out, in/g, k]
     params["pos_conv"] = {
         "kernel": np.transpose(w, (2, 1, 0)),
