@@ -399,11 +399,11 @@ def _execute(args, parser, pipeline, input_files: List[str],
     if multi_input:
         for path in input_files:
             if incremental:
-                if default_mode:
-                    pipeline.stream_audio(path, logger.stdout)
-                else:
-                    with StreamLock(lock_stderr=True):
-                        pipeline.stream_audio(path, logger.stdout)
+                # No StreamLock here: stdout purity is guaranteed by the
+                # logger routing (diagnostics never touch stdout), and
+                # locking would silence stderr for the whole processing
+                # phase, not just emission.
+                pipeline.stream_audio(path, logger.stdout)
                 continue
             result = pipeline.process_audio(
                 path, output_format=args.format,
@@ -426,11 +426,8 @@ def _execute(args, parser, pipeline, input_files: List[str],
 
     # Case C: single input
     if incremental:
-        if default_mode:
-            pipeline.stream_audio(input_files[0], logger.stdout)
-        else:
-            with StreamLock(lock_stderr=True):
-                pipeline.stream_audio(input_files[0], logger.stdout)
+        # See Case B note: the logger already guarantees stdout purity.
+        pipeline.stream_audio(input_files[0], logger.stdout)
         return 0
 
     result = pipeline.process_audio(

@@ -236,6 +236,23 @@ class AudioTokenizationPipeline:
     def _audio_sha256(audio: np.ndarray) -> str:
         return hashlib.sha256(audio.astype(np.float32).tobytes()).hexdigest()
 
+    def _log_token_diversity(self, semantic_codes, acoustic_codes) -> None:
+        """Token-diversity sanity check (reference 4911-4925): near-constant
+        token streams usually mean degenerate codebook seeding."""
+        if self.compat_mode:
+            return
+        for group, codes in (("semantic", semantic_codes),
+                             ("acoustic", acoustic_codes)):
+            flat = (np.concatenate([np.asarray(c).ravel() for c in codes])
+                    if codes else np.array([], dtype=int))
+            diversity = (len(np.unique(flat)) / flat.size
+                         if flat.size else 0.0)
+            logger.debug(f"Token diversity - {group}: {diversity:.3f}")
+            if flat.size > 50 and diversity < 0.1:
+                logger.warn(f"Very low {group} token diversity "
+                            f"({diversity:.3f}) - codebook seeding may have "
+                            "collapsed")
+
     # ------------------------------------------------------------------
     def process_audio(
         self,
@@ -276,6 +293,8 @@ class AudioTokenizationPipeline:
         self.budget_meter.sample_rate = sr
         self.budget_meter.update(len(audio), num_frames, num_sem, num_acc)
         logger.info(f"Total tokens: {num_sem + num_acc}")
+
+        self._log_token_diversity(semantic_codes, acoustic_codes)
 
         logger.progress("Evaluating tokenization quality...")
         self.evaluator.sample_rate = sr
@@ -438,6 +457,8 @@ class AudioTokenizationPipeline:
         num_acc = int(acc_codes.size)
         self.budget_meter.sample_rate = sr
         self.budget_meter.update(len(audio), num_frames, num_sem, num_acc)
+        self._log_token_diversity(result["semantic_codes"],
+                                  result["acoustic_codes"])
 
         self.evaluator.sample_rate = sr
         with annotate("nat/evaluate"):
