@@ -104,6 +104,11 @@ class BitReader:
 
 
 def _crc8(data: bytes) -> int:
+    from . import native as _native
+
+    fast = _native.flac_crc8(data)
+    if fast is not None:
+        return fast
     crc = 0
     for byte in data:
         crc ^= byte
@@ -113,6 +118,11 @@ def _crc8(data: bytes) -> int:
 
 
 def _crc16(data: bytes) -> int:
+    from . import native as _native
+
+    fast = _native.flac_crc16(data)
+    if fast is not None:
+        return fast
     crc = 0
     for byte in data:
         crc ^= byte << 8
@@ -121,7 +131,14 @@ def _crc16(data: bytes) -> int:
     return crc
 
 
-def _decode_residual(reader: BitReader, block_size: int, order: int) -> List[int]:
+def _decode_residual(reader: "BitReader", data: bytes, block_size: int,
+                     order: int):
+    from . import native as _native
+
+    fast = _native.flac_decode_residual(data, reader.pos, block_size, order)
+    if fast is not None:
+        residual, reader.pos = fast
+        return residual
     method = reader.read(2)
     if method > 1:
         raise ValueError(f"Reserved FLAC residual method {method}")
@@ -148,7 +165,34 @@ def _decode_residual(reader: BitReader, block_size: int, order: int) -> List[int
     return residual
 
 
-def _decode_subframe(reader: BitReader, block_size: int,
+def _read_signed_array(reader: "BitReader", data: bytes, count: int,
+                       bits: int) -> np.ndarray:
+    from . import native as _native
+
+    fast = _native.flac_read_signed_array(data, reader.pos, count, bits)
+    if fast is not None:
+        values, reader.pos = fast
+        return values
+    return np.array([reader.read_signed(bits) for _ in range(count)],
+                    dtype=np.int64)
+
+
+def _restore_predictor(warmup, residual, coeffs, shift: int) -> np.ndarray:
+    from . import native as _native
+
+    warmup = np.asarray(warmup, dtype=np.int64)
+    fast = _native.flac_restore_lpc(warmup, np.asarray(residual), coeffs,
+                                    shift)
+    if fast is not None:
+        return fast
+    out = list(warmup)
+    for r in residual:
+        acc = sum(int(c) * out[-k - 1] for k, c in enumerate(coeffs))
+        out.append((acc >> shift) + int(r))
+    return np.asarray(out, dtype=np.int64)
+
+
+def _decode_subframe(reader: "BitReader", data: bytes, block_size: int,
                      bits_per_sample: int) -> np.ndarray:
     if reader.read(1):
         raise ValueError("FLAC subframe sync bit set")
@@ -162,32 +206,23 @@ def _decode_subframe(reader: BitReader, block_size: int,
         value = reader.read_signed(bps)
         samples = np.full(block_size, value, dtype=np.int64)
     elif subframe_type == 1:  # VERBATIM
-        samples = np.array([reader.read_signed(bps)
-                            for _ in range(block_size)], dtype=np.int64)
+        samples = _read_signed_array(reader, data, block_size, bps)
     elif 8 <= subframe_type <= 12:  # FIXED order 0-4
         order = subframe_type - 8
-        warmup = [reader.read_signed(bps) for _ in range(order)]
-        residual = _decode_residual(reader, block_size, order)
-        out = list(warmup)
-        coeffs = FIXED_COEFFS[order]
-        for r in residual:
-            pred = sum(c * out[-k - 1] for k, c in enumerate(coeffs))
-            out.append(pred + r)
-        samples = np.asarray(out, dtype=np.int64)
+        warmup = _read_signed_array(reader, data, order, bps)
+        residual = _decode_residual(reader, data, block_size, order)
+        samples = _restore_predictor(warmup, residual,
+                                     FIXED_COEFFS[order], 0)
     elif subframe_type >= 32:  # LPC, order = (type & 31) + 1
         order = (subframe_type & 31) + 1
-        warmup = [reader.read_signed(bps) for _ in range(order)]
+        warmup = _read_signed_array(reader, data, order, bps)
         precision = reader.read(4) + 1
         if precision == 16:
             raise ValueError("invalid FLAC LPC precision")
         shift = reader.read_signed(5)
         coeffs = [reader.read_signed(precision) for _ in range(order)]
-        residual = _decode_residual(reader, block_size, order)
-        out = list(warmup)
-        for r in residual:
-            acc = sum(c * out[-k - 1] for k, c in enumerate(coeffs))
-            out.append((acc >> shift) + r)
-        samples = np.asarray(out, dtype=np.int64)
+        residual = _decode_residual(reader, data, block_size, order)
+        samples = _restore_predictor(warmup, residual, coeffs, shift)
     else:
         raise ValueError(f"Reserved FLAC subframe type {subframe_type}")
 
@@ -220,8 +255,8 @@ def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
         if last:
             break
 
-    channels_out: List[np.ndarray] = []
     frames: List[np.ndarray] = []
+    shared_reader = BitReader(data)  # unpack once, reuse across frames
     while pos < len(data):
         # Frame sync: 14 bits 0b11111111111110
         if pos + 2 > len(data):
@@ -230,7 +265,8 @@ def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
         if sync != 0x3FFE:
             raise ValueError(f"Lost FLAC frame sync at byte {pos}")
         header_start = pos
-        reader = BitReader(data, pos_bits=pos * 8 + 14)
+        reader = shared_reader
+        reader.pos = pos * 8 + 14
         blocking_strategy = reader.read(1)  # noqa: F841 (variable blocksize ok)
         reader.read(1)  # reserved
         bs_code = reader.read(4)
@@ -293,7 +329,7 @@ def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
                 bps += 1
             elif assignment == "mid_side" and ch == 1:
                 bps += 1
-            subframes.append(_decode_subframe(reader, block_size, bps))
+            subframes.append(_decode_subframe(reader, data, block_size, bps))
 
         reader.align_byte()
         frame_end = reader.pos // 8

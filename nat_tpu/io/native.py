@@ -66,6 +66,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.change_mask.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint32)]
+        _bind_flac(lib)
         _lib = lib
         logger.debug(f"native host runtime loaded: {_LIB_PATH}")
     except Exception as exc:
@@ -127,3 +128,83 @@ def change_mask(codes: np.ndarray) -> Optional[np.ndarray]:
                     codes.shape[0], codes.shape[1],
                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return out
+
+
+def _bind_flac(lib) -> None:
+    lib.flac_decode_residual.restype = ctypes.c_int
+    lib.flac_decode_residual.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+    lib.flac_read_signed_array.restype = ctypes.c_int
+    lib.flac_read_signed_array.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
+    lib.flac_restore_lpc.restype = None
+    lib.flac_restore_lpc.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_int]
+    lib.flac_crc8.restype = ctypes.c_uint8
+    lib.flac_crc8.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.flac_crc16.restype = ctypes.c_uint16
+    lib.flac_crc16.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+
+
+def flac_decode_residual(data: bytes, bitpos: int, block_size: int,
+                         order: int) -> Optional[tuple]:
+    """C++ rice-residual decode → (int32 residual array, new bitpos)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(block_size - order, dtype=np.int32)
+    pos = ctypes.c_int64(bitpos)
+    rc = lib.flac_decode_residual(
+        data, len(data), ctypes.byref(pos), block_size, order,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        raise ValueError(f"FLAC residual decode failed ({rc})")
+    return out, pos.value
+
+
+def flac_read_signed_array(data: bytes, bitpos: int, count: int,
+                           bits: int) -> Optional[tuple]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(count, dtype=np.int64)
+    pos = ctypes.c_int64(bitpos)
+    rc = lib.flac_read_signed_array(
+        data, len(data), ctypes.byref(pos), count, bits,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        raise ValueError("FLAC bitstream truncated")
+    return out, pos.value
+
+
+def flac_restore_lpc(warmup: np.ndarray, residual: np.ndarray,
+                     coeffs, shift: int) -> Optional[np.ndarray]:
+    """Predictor restore (fixed = integer coeffs with shift 0)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    order = len(warmup)
+    n = len(residual)
+    samples = np.empty(order + n, dtype=np.int64)
+    samples[:order] = warmup
+    residual = np.ascontiguousarray(residual, dtype=np.int32)
+    carr = np.ascontiguousarray(coeffs, dtype=np.int32)
+    lib.flac_restore_lpc(
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        residual.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        carr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), order, shift)
+    return samples
+
+
+def flac_crc8(data: bytes) -> Optional[int]:
+    lib = get_lib()
+    return int(lib.flac_crc8(data, len(data))) if lib else None
+
+
+def flac_crc16(data: bytes) -> Optional[int]:
+    lib = get_lib()
+    return int(lib.flac_crc16(data, len(data))) if lib else None

@@ -144,3 +144,143 @@ void change_mask(const int32_t *codes, int num_layers, int num_frames,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FLAC hot loops (bit-level residual decode, predictor restore, CRCs).
+// Python (nat_tpu/io/flac.py) keeps the cheap per-frame header parsing and
+// calls these for the per-sample work.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+namespace {
+
+struct BitCursor {
+    const uint8_t *data;
+    int64_t nbytes;
+    int64_t pos;  // bit position
+
+    inline int read_bit() {
+        int64_t byte = pos >> 3;
+        if (byte >= nbytes) return -1;
+        int bit = 7 - (pos & 7);
+        pos++;
+        return (data[byte] >> bit) & 1;
+    }
+
+    inline int64_t read_bits(int n) {  // n <= 57 safe
+        int64_t value = 0;
+        for (int i = 0; i < n; ++i) {
+            int b = read_bit();
+            if (b < 0) return -1;
+            value = (value << 1) | b;
+        }
+        return value;
+    }
+
+    inline int64_t read_unary() {
+        int64_t q = 0;
+        for (;;) {
+            int b = read_bit();
+            if (b < 0) return -1;
+            if (b) return q;
+            q++;
+        }
+    }
+};
+
+}  // namespace
+
+// Decode one residual section (method+partitions+rice) starting at *bitpos.
+// Returns 0 on success, negative on error; updates *bitpos.
+int flac_decode_residual(const uint8_t *data, int64_t nbytes,
+                         int64_t *bitpos, int block_size, int order,
+                         int32_t *out /* block_size - order entries */) {
+    BitCursor c{data, nbytes, *bitpos};
+    int64_t method = c.read_bits(2);
+    if (method < 0 || method > 1) return -1;
+    int param_bits = method == 0 ? 4 : 5;
+    int escape = method == 0 ? 0xF : 0x1F;
+    int64_t partition_order = c.read_bits(4);
+    if (partition_order < 0) return -2;
+    int num_partitions = 1 << partition_order;
+    if (block_size % num_partitions) return -3;
+    int64_t idx = 0;
+    for (int p = 0; p < num_partitions; ++p) {
+        int count = block_size / num_partitions - (p == 0 ? order : 0);
+        int64_t param = c.read_bits(param_bits);
+        if (param < 0) return -4;
+        if (param == escape) {
+            int64_t raw_bits = c.read_bits(5);
+            if (raw_bits < 0) return -5;
+            for (int i = 0; i < count; ++i) {
+                if (raw_bits == 0) { out[idx++] = 0; continue; }
+                int64_t v = c.read_bits((int)raw_bits);
+                if (v < 0) return -6;
+                if (v >= (int64_t)1 << (raw_bits - 1)) v -= (int64_t)1 << raw_bits;
+                out[idx++] = (int32_t)v;
+            }
+        } else {
+            for (int i = 0; i < count; ++i) {
+                int64_t q = c.read_unary();
+                if (q < 0) return -7;
+                int64_t low = param ? c.read_bits((int)param) : 0;
+                if (low < 0) return -8;
+                int64_t folded = (q << param) | low;
+                out[idx++] = (int32_t)((folded >> 1) ^ -(folded & 1));
+            }
+        }
+    }
+    *bitpos = c.pos;
+    return 0;
+}
+
+// Read `count` signed values of `bits` width starting at *bitpos.
+int flac_read_signed_array(const uint8_t *data, int64_t nbytes,
+                           int64_t *bitpos, int count, int bits,
+                           int64_t *out) {
+    BitCursor c{data, nbytes, *bitpos};
+    for (int i = 0; i < count; ++i) {
+        int64_t v = c.read_bits(bits);
+        if (v < 0) return -1;
+        if (bits > 0 && v >= (int64_t)1 << (bits - 1)) v -= (int64_t)1 << bits;
+        out[i] = v;
+    }
+    *bitpos = c.pos;
+    return 0;
+}
+
+// In-place predictor restore: samples[0:order] are warmup, residual has
+// n entries; fills samples[order:order+n].
+void flac_restore_lpc(int64_t *samples, const int32_t *residual, int n,
+                      const int32_t *coeffs, int order, int shift) {
+    for (int i = 0; i < n; ++i) {
+        int64_t acc = 0;
+        int64_t *base = samples + order + i;
+        for (int k = 0; k < order; ++k) acc += (int64_t)coeffs[k] * base[-k - 1];
+        base[0] = (acc >> shift) + residual[i];
+    }
+}
+
+uint8_t flac_crc8(const uint8_t *data, int64_t n) {
+    uint8_t crc = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        crc ^= data[i];
+        for (int b = 0; b < 8; ++b)
+            crc = (crc & 0x80) ? (uint8_t)((crc << 1) ^ 0x07) : (uint8_t)(crc << 1);
+    }
+    return crc;
+}
+
+uint16_t flac_crc16(const uint8_t *data, int64_t n) {
+    uint16_t crc = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        crc ^= (uint16_t)(data[i] << 8);
+        for (int b = 0; b < 8; ++b)
+            crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x8005)
+                                 : (uint16_t)(crc << 1);
+    }
+    return crc;
+}
+
+}  // extern "C"
