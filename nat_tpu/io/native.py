@@ -44,7 +44,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _load_attempted = True
     if os.environ.get("NAT_TPU_NO_NATIVE"):
         return None
-    if not _LIB_PATH.exists() and not _build():
+    # Always run make: a stale .so (older than the source) would silently
+    # diverge from the ctypes ABI declared below.  make is a no-op when the
+    # library is fresh.
+    src = _NATIVE_DIR / "nat_host.cpp"
+    stale = (not _LIB_PATH.exists()
+             or (src.exists()
+                 and src.stat().st_mtime > _LIB_PATH.stat().st_mtime))
+    if stale and not _build():
+        return None
+    if not _LIB_PATH.exists():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
@@ -134,14 +143,14 @@ def _bind_flac(lib) -> None:
     lib.flac_decode_residual.restype = ctypes.c_int
     lib.flac_decode_residual.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
     lib.flac_read_signed_array.restype = ctypes.c_int
     lib.flac_read_signed_array.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
     lib.flac_restore_lpc.restype = None
     lib.flac_restore_lpc.argtypes = [
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ctypes.c_int]
     lib.flac_crc8.restype = ctypes.c_uint8
@@ -152,15 +161,15 @@ def _bind_flac(lib) -> None:
 
 def flac_decode_residual(data: bytes, bitpos: int, block_size: int,
                          order: int) -> Optional[tuple]:
-    """C++ rice-residual decode → (int32 residual array, new bitpos)."""
+    """C++ rice-residual decode → (int64 residual array, new bitpos)."""
     lib = get_lib()
     if lib is None:
         return None
-    out = np.empty(block_size - order, dtype=np.int32)
+    out = np.empty(block_size - order, dtype=np.int64)
     pos = ctypes.c_int64(bitpos)
     rc = lib.flac_decode_residual(
         data, len(data), ctypes.byref(pos), block_size, order,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     if rc != 0:
         raise ValueError(f"FLAC residual decode failed ({rc})")
     return out, pos.value
@@ -191,11 +200,11 @@ def flac_restore_lpc(warmup: np.ndarray, residual: np.ndarray,
     n = len(residual)
     samples = np.empty(order + n, dtype=np.int64)
     samples[:order] = warmup
-    residual = np.ascontiguousarray(residual, dtype=np.int32)
+    residual = np.ascontiguousarray(residual, dtype=np.int64)
     carr = np.ascontiguousarray(coeffs, dtype=np.int32)
     lib.flac_restore_lpc(
         samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        residual.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        residual.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
         carr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), order, shift)
     return samples
 

@@ -77,8 +77,11 @@ class NeuralAudioTokenizer:
         self.acoustic_dim = acoustic_dim
         self.codebook_size = codebook_size
         self.num_quantizers = num_quantizers
+        # Both groups get num_quantizers//2 layers (reference 2996-3002):
+        # an odd count rounds DOWN on both sides so the pipeline/NDJSON
+        # header layer counts always match the emitted token layers.
         self.num_semantic_layers = num_quantizers // 2
-        self.num_acoustic_layers = num_quantizers - self.num_semantic_layers
+        self.num_acoustic_layers = num_quantizers // 2
         self.n_mels = n_mels
         self.hop_length = hop_length
         self.enable_reconstruction = enable_reconstruction
@@ -224,35 +227,51 @@ class NeuralAudioTokenizer:
         t_mel = stft_num_frames(samples, 2048, self.hop_length, center=True)
         return -(-t_mel // 16)  # four stride-2 convs with SAME padding
 
-    def _semantic_frames(self, samples: int) -> int:
-        t16 = resample_output_length(samples, self.sample_rate, SEMANTIC_SR)
+    def _semantic_frames(self, samples: int,
+                         sample_rate: Optional[int] = None) -> int:
+        sr = sample_rate or self.sample_rate
+        t16 = resample_output_length(samples, sr, SEMANTIC_SR)
         if self.semantic_fallback:
             return t16 // 320 + 1
         return feature_extractor_output_length(t16)
 
-    def _target_frames(self, samples: int) -> int:
+    def _target_frames(self, samples: int,
+                       sample_rate: Optional[int] = None) -> int:
         if self.timebase == "frame":
             return max(samples // self.hop_length, 1)
-        return max(min(self._semantic_frames(samples),
+        return max(min(self._semantic_frames(samples, sample_rate),
                        self._acoustic_frames(samples)), 1)
+
+    def _mel_encoder_for(self, sample_rate: int):
+        """Mel encoder retuned to ``sample_rate`` (params are SR-independent;
+        only the constant filterbank changes)."""
+        if sample_rate == self.sample_rate:
+            return self.mel_encoder
+        return MelResidualEncoder(
+            output_dim=self.acoustic_dim, n_mels=self.n_mels,
+            hop_length=self.hop_length, sample_rate=sample_rate,
+            dtype=(jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                   else jnp.float32))
 
     # ------------------------------------------------------------------
     # Jitted forward (per bucket length)
     # ------------------------------------------------------------------
-    def _build_forward(self, bucket: int):
-        t_target = self._target_frames(bucket)
+    def _build_forward(self, bucket: int, sample_rate: Optional[int] = None):
+        sr = sample_rate or self.sample_rate
+        t_target = self._target_frames(bucket, sr)
         out_samples = t_target * self.hop_length
         reconstruct = self.enable_reconstruction
         stochastic = self.stochastic
         use_pallas = self.use_pallas
+        mel_encoder = self._mel_encoder_for(sr)
 
         @jax.jit
         def forward(params, sem_rvq: RVQState, acc_rvq: RVQState,
                     waveform: jnp.ndarray, rng: jax.Array):
-            wave16 = resample_jax(waveform, self.sample_rate, SEMANTIC_SR)
+            wave16 = resample_jax(waveform, sr, SEMANTIC_SR)
             sem_feats = self.semantic_encoder.apply(
                 {"params": params["semantic_encoder"]}, wave16)  # [B, Ts, D]
-            acc_feats = self.mel_encoder.apply(
+            acc_feats = mel_encoder.apply(
                 {"params": params["mel_encoder"]}, waveform)     # [B, Ta, D]
 
             sem_feats = self.temporal_semantic.apply(
@@ -317,10 +336,11 @@ class NeuralAudioTokenizer:
 
         return forward, t_target
 
-    def _forward_for(self, bucket: int):
-        if bucket not in self._forward_cache:
-            self._forward_cache[bucket] = self._build_forward(bucket)
-        return self._forward_cache[bucket]
+    def _forward_for(self, bucket: int, sample_rate: Optional[int] = None):
+        key = (sample_rate or self.sample_rate, bucket)
+        if key not in self._forward_cache:
+            self._forward_cache[key] = self._build_forward(bucket, key[0])
+        return self._forward_cache[key]
 
     # ------------------------------------------------------------------
     # Public host API (reference-shaped result dict)
@@ -335,15 +355,10 @@ class NeuralAudioTokenizer:
         """
         self.ensure_initialized()
         wave = np.atleast_2d(np.asarray(waveform, dtype=np.float32))
-        if actual_sample_rate and actual_sample_rate != self.sample_rate:
-            # Model graphs are compiled for self.sample_rate; retune.
-            self.sample_rate = actual_sample_rate
-            self.mel_encoder = MelResidualEncoder(
-                output_dim=self.acoustic_dim, n_mels=self.n_mels,
-                hop_length=self.hop_length, sample_rate=actual_sample_rate,
-                dtype=(jnp.bfloat16 if self.compute_dtype == "bfloat16"
-                       else jnp.float32))
-            self._forward_cache.clear()
+        # Non-mutating SR handling: graphs are cached per (sr, bucket), so
+        # alternating-SR inputs reuse their compiled programs instead of
+        # thrashing the cache (and tokenizer state stays order-independent).
+        sr = actual_sample_rate or self.sample_rate
 
         total = wave.shape[-1]
         # Overlap-discard margins (SURVEY.md §5.7): extend each interior
@@ -352,8 +367,8 @@ class NeuralAudioTokenizer:
         # centers fall inside the chunk's own span.  Spans partition the
         # signal, so every frame is kept exactly once.  chunk_spans reserves
         # the margin so extended chunks still fit the largest bucket.
-        overlap = int(self.sample_rate)
-        spans = chunk_spans(total, self.sample_rate, overlap=overlap)
+        overlap = int(sr)
+        spans = chunk_spans(total, sr, overlap=overlap)
         if len(spans) == 1:
             overlap = 0
         for start, length in spans:
@@ -361,14 +376,14 @@ class NeuralAudioTokenizer:
             ext_end = min(total, start + length + overlap)
             ext_len = ext_end - ext_start
             chunk = wave[:, ext_start:ext_end]
-            bucket = bucket_length(ext_len, self.sample_rate)
+            bucket = bucket_length(ext_len, sr)
             if ext_len < bucket:
                 chunk = np.pad(chunk, ((0, 0), (0, bucket - ext_len)))
-            forward, _ = self._forward_for(bucket)
+            forward, _ = self._forward_for(bucket, sr)
             self._rng, rng = jax.random.split(self._rng)
             out = forward(self.params, self.sem_rvq, self.acc_rvq,
                           jnp.asarray(chunk), rng)
-            valid_t = self._target_frames(ext_len)
+            valid_t = self._target_frames(ext_len, sr)
             sem = np.asarray(out["semantic_codes"])[:, :, :valid_t]
             acc = np.asarray(out["acoustic_codes"])[:, :, :valid_t]
             if overlap:

@@ -121,11 +121,13 @@ def rvq_encode(
         codes_n = _select_codes(dist, temperature, stochastic,
                                 rng_n if stochastic else None)
         quantized_n = codebook_n[codes_n]                    # [M, D]
-        # Per-layer VQ losses (reference 2162-2167)
+        # Per-layer VQ losses — mean over ALL elements, matching the
+        # reference's F.mse_loss scale (2162-2167) so the 0.25 commitment
+        # weight mixes correctly with per-element-mean recon losses.
         commit = jnp.mean(
-            jnp.sum((residual - jax.lax.stop_gradient(quantized_n)) ** 2, -1))
+            (residual - jax.lax.stop_gradient(quantized_n)) ** 2)
         codebook_loss = jnp.mean(
-            jnp.sum((jax.lax.stop_gradient(residual) - quantized_n) ** 2, -1))
+            (jax.lax.stop_gradient(residual) - quantized_n) ** 2)
         new_residual = residual - jax.lax.stop_gradient(quantized_n)
         return ((new_residual, quant_sum + quantized_n,
                  commit_acc + commit, codebook_acc + codebook_loss), codes_n)

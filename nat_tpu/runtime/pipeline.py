@@ -254,6 +254,30 @@ class AudioTokenizationPipeline:
                             "collapsed")
 
     # ------------------------------------------------------------------
+    def _decode_reconstruction(self, reconstruct: bool, semantic_codes,
+                               acoustic_codes, forward_recon):
+        """Run (and time) the token→waveform decode pass.
+
+        Returns ``(reconstructed, decoding_time)``.  Uses the tokenizer's
+        ``decode_tokens`` so decode latency is measured independently of the
+        encode pass; falls back to the forward pass's fused reconstruction
+        when a separate decode isn't available (compat mode).
+        """
+        if not reconstruct:
+            return None, 0.0
+        if (not self.compat_mode
+                and hasattr(self.tokenizer, "decode_tokens")
+                and getattr(self.tokenizer, "enable_reconstruction", False)):
+            decode_start = time.time()
+            recon = self.tokenizer.decode_tokens(semantic_codes,
+                                                 acoustic_codes)
+            return recon, time.time() - decode_start
+        if forward_recon is None and reconstruct:
+            logger.debug("Reconstruction requested but the tokenizer was "
+                         "built without a decoder; skipping")
+        return forward_recon, 0.0
+
+    # ------------------------------------------------------------------
     def process_audio(
         self,
         file_path: str,
@@ -285,8 +309,17 @@ class AudioTokenizationPipeline:
 
         semantic_codes = result["semantic_codes"]
         acoustic_codes = result["acoustic_codes"]
-        reconstructed = result.get("reconstructed")
         num_frames = int(result.get("num_frames", 0))
+
+        # Per-call reconstruction override (defaults to the pipeline-level
+        # setting).  The decode pass is timed separately from encode,
+        # matching the reference's split measurement (3390-3431).
+        reconstruct = (self.enable_reconstruction
+                       if enable_reconstruction is None
+                       else enable_reconstruction)
+        reconstructed, decoding_time = self._decode_reconstruction(
+            reconstruct, semantic_codes, acoustic_codes,
+            result.get("reconstructed"))
 
         num_sem = sum(int(np.asarray(c).size) for c in semantic_codes)
         num_acc = sum(int(np.asarray(c).size) for c in acoustic_codes)
@@ -304,7 +337,7 @@ class AudioTokenizationPipeline:
         with annotate("nat/evaluate"):
             metrics = self.evaluator.evaluate_tokenization(
                 audio, self.tokenizer, recon_np, precomputed_result=result,
-                encoding_time=encoding_time)
+                encoding_time=encoding_time, decoding_time=decoding_time)
 
         text_tokens = self.formatter.to_text_sequence(
             semantic_codes, acoustic_codes, output_format)
@@ -450,8 +483,13 @@ class AudioTokenizationPipeline:
             "semantic_codes": [sem_codes[i] for i in range(sem_codes.shape[0])],
             "acoustic_codes": [acc_codes[i] for i in range(acc_codes.shape[0])],
         }
-        reconstructed = (np.concatenate(recon_parts, axis=-1).reshape(-1)
+        forward_recon = (np.concatenate(recon_parts, axis=-1).reshape(-1)
                          if recon_parts else None)
+        reconstructed, decoding_time = self._decode_reconstruction(
+            self.enable_reconstruction, result["semantic_codes"],
+            result["acoustic_codes"], forward_recon)
+        if reconstructed is not None:
+            reconstructed = np.asarray(reconstructed).reshape(-1)
         num_frames = int(sem_codes.shape[-1])
         num_sem = int(sem_codes.size)
         num_acc = int(acc_codes.size)
@@ -464,7 +502,8 @@ class AudioTokenizationPipeline:
         with annotate("nat/evaluate"):
             metrics = self.evaluator.evaluate_tokenization(
                 audio, self.tokenizer, reconstructed,
-                precomputed_result=result, encoding_time=encoding_time)
+                precomputed_result=result, encoding_time=encoding_time,
+                decoding_time=decoding_time)
         budget_metrics = self.budget_meter.get_metrics()
         for line in self.streaming.end_stream(
                 {**asdict(metrics), **asdict(budget_metrics)}):

@@ -193,9 +193,12 @@ struct BitCursor {
 
 // Decode one residual section (method+partitions+rice) starting at *bitpos.
 // Returns 0 on success, negative on error; updates *bitpos.
+// Residuals are int64: 32-bit-per-sample streams (sample-size code 7) can
+// carry residuals exceeding int32; the pure-Python fallback keeps
+// arbitrary-precision ints, so the native path must not silently wrap.
 int flac_decode_residual(const uint8_t *data, int64_t nbytes,
                          int64_t *bitpos, int block_size, int order,
-                         int32_t *out /* block_size - order entries */) {
+                         int64_t *out /* block_size - order entries */) {
     BitCursor c{data, nbytes, *bitpos};
     int64_t method = c.read_bits(2);
     if (method < 0 || method > 1) return -1;
@@ -218,7 +221,7 @@ int flac_decode_residual(const uint8_t *data, int64_t nbytes,
                 int64_t v = c.read_bits((int)raw_bits);
                 if (v < 0) return -6;
                 if (v >= (int64_t)1 << (raw_bits - 1)) v -= (int64_t)1 << raw_bits;
-                out[idx++] = (int32_t)v;
+                out[idx++] = v;
             }
         } else {
             for (int i = 0; i < count; ++i) {
@@ -227,7 +230,7 @@ int flac_decode_residual(const uint8_t *data, int64_t nbytes,
                 int64_t low = param ? c.read_bits((int)param) : 0;
                 if (low < 0) return -8;
                 int64_t folded = (q << param) | low;
-                out[idx++] = (int32_t)((folded >> 1) ^ -(folded & 1));
+                out[idx++] = (folded >> 1) ^ -(folded & 1);
             }
         }
     }
@@ -252,7 +255,7 @@ int flac_read_signed_array(const uint8_t *data, int64_t nbytes,
 
 // In-place predictor restore: samples[0:order] are warmup, residual has
 // n entries; fills samples[order:order+n].
-void flac_restore_lpc(int64_t *samples, const int32_t *residual, int n,
+void flac_restore_lpc(int64_t *samples, const int64_t *residual, int n,
                       const int32_t *coeffs, int order, int shift) {
     for (int i = 0; i < n; ++i) {
         int64_t acc = 0;

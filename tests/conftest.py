@@ -11,12 +11,17 @@ import sys
 from pathlib import Path
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# 8 virtual devices; raised collective-rendezvous deadlines (8 device
-# threads share ONE physical core here — XLA's default 40 s termination
-# timeout aborts the process when straggler threads can't be scheduled).
+# Device-count scoping: the virtual multi-device mesh is only needed by the
+# parallel/mesh tests, and every extra virtual device costs real time on
+# this 1-core box.  Default to 1 device; run the mesh tests with
+# ``NAT_TPU_TEST_DEVICES=8 pytest tests/ -m mesh`` (they skip otherwise).
+_N_DEVICES = os.environ.get("NAT_TPU_TEST_DEVICES", "1")
+# Raised collective-rendezvous deadlines (8 device threads share ONE
+# physical core here — XLA's default 40 s termination timeout aborts the
+# process when straggler threads can't be scheduled).
 os.environ.setdefault(
     "XLA_FLAGS",
-    "--xla_force_host_platform_device_count=8"
+    f"--xla_force_host_platform_device_count={_N_DEVICES}"
     " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
     " --xla_cpu_collective_timeout_seconds=1800")
 

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from nat_tpu.runtime.checkpoint import load_model, save_model
 
 

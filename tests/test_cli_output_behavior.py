@@ -9,6 +9,8 @@ import json
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def test_default_behavior(cli, simple_wav):
     """Default mode: pure NDJSON on stdout, empty stderr."""

@@ -7,6 +7,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+
 REPO = Path(__file__).resolve().parent.parent
 
 
@@ -39,6 +40,7 @@ def test_format_version_single_source():
     assert not hardcoded, f"hardcoded format_version literals: {hardcoded}"
 
 
+@pytest.mark.slow
 class TestLongFileChunking:
     def test_long_file_tokenizes_in_chunks(self):
         """A >30 s input runs through the fixed-chunk path; frame counts

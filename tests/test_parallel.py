@@ -16,8 +16,9 @@ from nat_tpu.parallel.mesh import (batch_sharding, make_mesh, replicated,
                                    rvq_state_sharding)
 from nat_tpu.quant.rvq import RVQState, init_rvq_state, rvq_encode
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.mesh, pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="needs 8 virtual devices (NAT_TPU_TEST_DEVICES=8)")]
 
 
 @pytest.fixture(scope="module")

@@ -28,8 +28,9 @@ REFERENCE = Path("/root/reference/neural_audio_tokenizer.py")
 REPO = Path(__file__).resolve().parent.parent
 SHIMS = Path(__file__).resolve().parent / "reference_shims"
 
-pytestmark = pytest.mark.skipif(not REFERENCE.exists(),
-                                reason="reference tool not available")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not REFERENCE.exists(),
+                                 reason="reference tool not available")]
 
 NEURAL_ARGS = ["--codebook-init", "random", "--codebook-size", "512"]
 

@@ -8,8 +8,9 @@ import jax
 from nat_tpu.parallel.mesh import make_mesh
 from nat_tpu.parallel.runner import DataParallelRunner
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 4, reason="needs virtual devices")
+pytestmark = [pytest.mark.mesh, pytest.mark.skipif(
+    len(jax.devices()) < 4,
+    reason="needs virtual devices (NAT_TPU_TEST_DEVICES=8)")]
 
 
 @pytest.fixture(scope="module")

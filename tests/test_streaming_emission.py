@@ -4,6 +4,7 @@ buffered path for dense and RLE modes, across chunk boundaries."""
 import numpy as np
 import pytest
 
+
 from nat_tpu.stream.protocol import StreamingProtocol
 
 
@@ -58,6 +59,7 @@ def test_incremental_rle_keyframes_match():
     assert inc_events == buf_events
 
 
+@pytest.mark.slow
 def test_pipeline_stream_audio_matches_buffered(tmp_path):
     """End-to-end: stream_audio's emitted lines == process_audio's buffered
     ndjson_output (neural CPU path, multi-chunk 40 s input)."""

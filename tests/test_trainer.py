@@ -5,6 +5,8 @@ import pytest
 
 from nat_tpu.runtime.trainer import Trainer
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tokenizer():

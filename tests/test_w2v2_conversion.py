@@ -9,6 +9,8 @@ validates the flax reimplementation AND the converter end-to-end.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
