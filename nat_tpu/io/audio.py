@@ -218,8 +218,37 @@ def decode_raw_pcm16(data: bytes, sample_rate: int = RAW_FALLBACK_SR) -> Tuple[n
     return samples, sample_rate
 
 
+def _sniff_compressed(head: bytes) -> Optional[str]:
+    """Magic-byte sniff for perceptual-codec formats (reference 5151-5177)."""
+    if head[:4] == b"OggS":
+        return "OGG"
+    if head[:3] == b"ID3":
+        return "MP3"
+    if head[4:8] == b"ftyp":
+        return "M4A"
+    if len(head) >= 4 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0:
+        version = (head[1] >> 3) & 3
+        layer = (head[1] >> 1) & 3
+        bitrate = head[2] >> 4
+        srate = (head[2] >> 2) & 3
+        if layer == 0 and (head[1] & 0xF6) == 0xF0:
+            return "AAC"  # ADTS
+        if version != 1 and layer != 0 and bitrate not in (0, 15) and srate != 3:
+            return "MP3"  # bare MPEG audio frame sync
+    return None
+
+
 def decode_bytes(data: bytes, allow_raw_fallback: bool = True) -> Tuple[np.ndarray, int]:
-    """Decode audio bytes by sniffing the container, with raw-PCM fallback."""
+    """Decode audio bytes by sniffing the container.
+
+    Ladder: first-party native parsers (WAV/AU/AIFF/FLAC) → FFmpeg codec
+    shim (MP3/OGG/M4A/AAC, and as second chance for exotic variants of the
+    native formats) → raw-PCM reinterpretation for *unrecognized* bytes
+    only.  Recognized compressed formats never silently degrade to raw-PCM
+    noise: if the shim is unavailable they raise instead.
+    """
+    from . import codecs
+
     head = data[:16]
     try:
         if head[:4] == b"RIFF":
@@ -233,18 +262,24 @@ def decode_bytes(data: bytes, allow_raw_fallback: bool = True) -> Tuple[np.ndarr
 
             return decode_flac(data)
     except Exception as exc:
-        logger.warn(f"Container decode failed ({exc}); falling back to raw PCM")
-        if not allow_raw_fallback:
-            raise
-    if head[:4] == b"OggS" or head[:3] == b"ID3" or head[4:8] == b"ftyp":
-        name = ("OGG" if head[:4] == b"OggS"
-                else "MP3" if head[:3] == b"ID3" else "M4A")
-        if not allow_raw_fallback:
-            raise ValueError(f"{name} decoding requires an external decoder")
-        logger.warn(
-            f"{name} input detected but no native {name} decoder is available; "
-            "interpreting as raw 16-bit PCM (expect noise)"
-        )
+        logger.warn(f"Container parse failed ({exc}); trying codec shim")
+        try:
+            return codecs.decode_bytes(data)
+        except ValueError:
+            if not allow_raw_fallback:
+                raise
+            logger.warn("Codec shim could not decode either; "
+                        "falling back to raw PCM")
+            return decode_raw_pcm16(data)
+
+    name = _sniff_compressed(head)
+    if name:
+        # Raises with a clear message when the shim is missing or the
+        # stream is corrupt — a compressed-audio user must never get
+        # noise tokens with rc=0.
+        return codecs.decode_bytes(data)
+    if not allow_raw_fallback:
+        raise ValueError("Unrecognized audio format")
     return decode_raw_pcm16(data)
 
 
