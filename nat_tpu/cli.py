@@ -395,9 +395,13 @@ def _execute(args, parser, pipeline, input_files: List[str],
                    and not args.metrics and not args.evaluate
                    and not args.budget_report)
 
-    # Case B: multi-file sequential streaming to stdout
+    # Case B: multi-file streaming to stdout.  Non-incremental runs
+    # tokenize all files first (data-parallel across local devices when
+    # >1 device; see pipeline._tokenize_many), then serialize in order.
     if multi_input:
-        for path in input_files:
+        prepared = (None if incremental
+                    else pipeline._tokenize_many(input_files))
+        for file_idx, path in enumerate(input_files):
             if incremental:
                 # No StreamLock here: stdout purity is guaranteed by the
                 # logger routing (diagnostics never touch stdout), and
@@ -405,11 +409,17 @@ def _execute(args, parser, pipeline, input_files: List[str],
                 # phase, not just emission.
                 pipeline.stream_audio(path, logger.stdout)
                 continue
+            prep = prepared[file_idx]
+            if isinstance(prep, Exception):
+                raise prep  # same contract as sequential: first failure aborts
+            audio, sr, tok_result, encoding_time = prep
             result = pipeline.process_audio(
                 path, output_format=args.format,
                 enable_reconstruction=enable_reconstruction,
                 streaming_mode=args.streaming,
-                ndjson_streaming=args.ndjson_streaming)
+                ndjson_streaming=args.ndjson_streaming,
+                _preloaded=(audio, sr),
+                _pretokenized=(tok_result, encoding_time))
             if args.ndjson_streaming and result["ndjson_output"]:
                 output_text = result["ndjson_output"]
             elif args.streaming and result["streaming_output"]:

@@ -33,22 +33,33 @@ class DataParallelRunner:
 
     def tokenize_many(
         self, waveforms: Sequence[np.ndarray],
+        sample_rates: Optional[Sequence[int]] = None,
     ) -> List[Dict]:
         """Tokenize a list of mono waveforms; returns per-file result dicts
-        (reference shape: semantic_codes/acoustic_codes lists, num_frames)."""
+        (reference shape: semantic_codes/acoustic_codes lists, num_frames).
+
+        Waveforms must fit a single chunk (``bucket_length`` max); callers
+        route longer files through the sequential chunked path.  Files are
+        grouped by (sample_rate, bucket) so each group runs one compiled
+        program.
+        """
         import jax
         import jax.numpy as jnp
 
         tok = self.tokenizer
         tok.ensure_initialized()
 
-        groups: Dict[int, List[int]] = defaultdict(list)
+        rates = (list(sample_rates) if sample_rates is not None
+                 else [tok.sample_rate] * len(waveforms))
+
+        groups: Dict[tuple, List[int]] = defaultdict(list)
         for idx, wave in enumerate(waveforms):
-            groups[bucket_length(len(wave), tok.sample_rate)].append(idx)
+            groups[(rates[idx],
+                    bucket_length(len(wave), rates[idx]))].append(idx)
 
         results: List[Optional[Dict]] = [None] * len(waveforms)
-        for bucket, indices in sorted(groups.items()):
-            forward, t_target = tok._forward_for(bucket)
+        for (sr, bucket), indices in sorted(groups.items()):
+            forward, t_target = tok._forward_for(bucket, sr)
             # Pad the group to a multiple of dp so the shard is even.
             padded_n = -(-len(indices) // self.dp) * self.dp
             batch = np.zeros((padded_n, bucket), dtype=np.float32)
@@ -67,7 +78,7 @@ class DataParallelRunner:
             sem = np.asarray(out["semantic_codes"])   # [N, B, Tt]
             acc = np.asarray(out["acoustic_codes"])
             for row, idx in enumerate(indices):
-                valid_t = tok._target_frames(len(waveforms[idx]))
+                valid_t = tok._target_frames(len(waveforms[idx]), sr)
                 results[idx] = {
                     "semantic_codes": [sem[l, row:row + 1, :valid_t]
                                        for l in range(sem.shape[0])],

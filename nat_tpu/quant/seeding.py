@@ -269,7 +269,20 @@ def _align_dim(vectors: np.ndarray, target_dim: int, seed: int) -> np.ndarray:
 
 
 def load_pretrained_state_dict(model_name: str) -> Optional[Dict]:
-    """Load a checkpoint's state_dict if locally available (no downloads)."""
+    """Load a checkpoint's state_dict if locally available (no downloads).
+
+    Primary path is a direct checkpoint-file parse
+    (:mod:`~nat_tpu.quant.checkpoint_io`) — this reads real MERT weights
+    without executing the repo's custom modeling code (the reference needs
+    trust_remote_code=True at :1988 only because it instantiates the model;
+    seeding just needs the tensors).  Falls back to an offline AutoModel
+    load for repos whose weights exist only behind transformed formats.
+    """
+    from . import checkpoint_io
+
+    state = checkpoint_io.load_local_state_dict(model_name)
+    if state is not None:
+        return state
     try:
         # Some transformers paths (PEFT adapter probing) hit the network even
         # with local_files_only; force full offline mode.

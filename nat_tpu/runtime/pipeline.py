@@ -285,13 +285,21 @@ class AudioTokenizationPipeline:
         enable_reconstruction: Optional[bool] = None,
         streaming_mode: bool = False,
         ndjson_streaming: bool = False,
+        _preloaded: Optional[Tuple[np.ndarray, int]] = None,
+        _pretokenized: Optional[Tuple[Dict, float]] = None,
     ) -> Dict[str, Any]:
+        """``_preloaded``/``_pretokenized`` inject results computed by the
+        data-parallel batch path (:meth:`_tokenize_many`); metering,
+        evaluation, and serialization stay identical to the sequential path."""
         logger.info(f"Processing: {file_path}")
         start_time = time.time()
         self.budget_meter.reset()
 
-        with annotate("nat/load_audio"):
-            audio, sr = self.load_audio(file_path)
+        if _preloaded is not None:
+            audio, sr = _preloaded
+        else:
+            with annotate("nat/load_audio"):
+                audio, sr = self.load_audio(file_path)
         duration = len(audio) / sr
         logger.info(f"Loaded audio: {len(audio)} samples, {sr} Hz, {duration:.2f}s")
 
@@ -302,10 +310,13 @@ class AudioTokenizationPipeline:
         self.streaming.ndjson_streamer.audio_sha256 = audio_hash
 
         logger.info("Tokenizing...")
-        encode_start = time.time()
-        with annotate("nat/tokenize"):
-            result = self.tokenizer(audio[None, :], actual_sample_rate=sr)
-        encoding_time = time.time() - encode_start
+        if _pretokenized is not None:
+            result, encoding_time = _pretokenized
+        else:
+            encode_start = time.time()
+            with annotate("nat/tokenize"):
+                result = self.tokenizer(audio[None, :], actual_sample_rate=sr)
+            encoding_time = time.time() - encode_start
 
         semantic_codes = result["semantic_codes"]
         acoustic_codes = result["acoustic_codes"]
@@ -526,6 +537,80 @@ class AudioTokenizationPipeline:
         }
 
     # ------------------------------------------------------------------
+    def _tokenize_many(self, input_paths: List[str]) -> List[Any]:
+        """Load + tokenize many files, data-parallel over local devices.
+
+        Returns one entry per path: ``(audio, sr, result, encoding_time)``
+        on success or the exception on failure.  Single-chunk files run
+        dp-sharded through :class:`~nat_tpu.parallel.runner
+        .DataParallelRunner` (one compiled program per (sr, bucket) group,
+        batch split across chips over ICI); long files, compat mode, and
+        stochastic mode fall back to the sequential chunked path.  Token
+        output is identical to sequential processing (argmin selection is
+        rng-free and row-independent).
+        """
+        from ..runtime.bucketing import MAX_SINGLE_CHUNK_S
+
+        loaded: List[Any] = []
+        for path in input_paths:
+            try:
+                loaded.append(list(self.load_audio(path)))
+            except Exception as exc:
+                loaded.append(exc)
+
+        dp_eligible: List[int] = []
+        if not self.compat_mode and not self.stochastic:
+            import jax
+
+            if len(jax.devices()) > 1:
+                dp_eligible = [
+                    i for i, item in enumerate(loaded)
+                    if not isinstance(item, Exception)
+                    and len(item[0]) <= MAX_SINGLE_CHUNK_S * item[1]
+                ]
+
+        results: List[Any] = [None] * len(input_paths)
+        if len(dp_eligible) > 1:
+            from ..parallel.runner import DataParallelRunner
+
+            runner = DataParallelRunner(self.tokenizer)
+            waves = [loaded[i][0] for i in dp_eligible]
+            rates = [loaded[i][1] for i in dp_eligible]
+            logger.info(f"Data-parallel batch: {len(waves)} file(s) over "
+                        f"{runner.dp} device(s)")
+            group_start = time.time()
+            try:
+                dp_results = runner.tokenize_many(waves, rates)
+                per_file_time = (time.time() - group_start) / len(waves)
+                for i, res in zip(dp_eligible, dp_results):
+                    # reference result shape: lists of [B, T] per layer
+                    res["num_frames"] = int(res.get(
+                        "num_frames",
+                        np.asarray(res["semantic_codes"][0]).shape[-1]))
+                    results[i] = (loaded[i][0], loaded[i][1], res,
+                                  per_file_time)
+            except Exception as exc:
+                logger.warn(f"Data-parallel batch failed ({exc}); "
+                            "falling back to sequential")
+
+        for i, item in enumerate(loaded):
+            if results[i] is not None:
+                continue
+            if isinstance(item, Exception):
+                results[i] = item
+                continue
+            audio, sr = item
+            try:
+                encode_start = time.time()
+                with annotate("nat/tokenize"):
+                    result = self.tokenizer(audio[None, :],
+                                            actual_sample_rate=sr)
+                results[i] = (audio, sr, result, time.time() - encode_start)
+            except Exception as exc:
+                results[i] = exc
+        return results
+
+    # ------------------------------------------------------------------
     def batch_process(
         self,
         input_paths: List[str],
@@ -534,17 +619,24 @@ class AudioTokenizationPipeline:
         sequential_vis: bool = False,
     ) -> List[Dict]:
         """Process many files, saving all artifacts; one bad file never kills
-        the run (per-file error capture, reference 5137-5139)."""
+        the run (per-file error capture, reference 5137-5139).  Tokenization
+        is batched data-parallel across local devices when possible."""
         import json as _json
         import os
 
         os.makedirs(output_dir, exist_ok=True)
+        prepared = self._tokenize_many(input_paths)
         results: List[Dict] = []
-        for path in input_paths:
+        for path, prep in zip(input_paths, prepared):
             try:
+                if isinstance(prep, Exception):
+                    raise prep
+                audio, sr, tok_result, encoding_time = prep
                 result = self.process_audio(
                     path, output_format=output_format,
-                    ndjson_streaming=True, streaming_mode=False)
+                    ndjson_streaming=True, streaming_mode=False,
+                    _preloaded=(audio, sr),
+                    _pretokenized=(tok_result, encoding_time))
                 base = Path(path).stem
                 out = Path(output_dir)
                 (out / f"{base}_tokens.txt").write_text(result["text_tokens"])
