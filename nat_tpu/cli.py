@@ -53,6 +53,12 @@ Examples:
     parser.add_argument("input_files", nargs="*", help="Input audio files")
     parser.add_argument("--stdin", action="store_true",
                         help="Read file paths from stdin")
+    parser.add_argument("--stream-stdin", action="store_true",
+                        help="Tokenize piped WAV audio incrementally as "
+                             "bytes arrive (frames emit before EOF; no "
+                             "global peak normalization, header "
+                             "audio_sha256 is null — raw digest lands in "
+                             "end.stats)")
     parser.add_argument("--output", "-o", help="Output file (default: stdout)")
     parser.add_argument("--output-dir", help="Output directory for all outputs mode")
     parser.add_argument("--all-outputs", action="store_true",
@@ -85,7 +91,9 @@ Examples:
                         help="Omit legend from NDJSON header to save tokens")
 
     # Codebook initialization
-    parser.add_argument("--codebook-init", choices=["mert", "encodec", "random"],
+    parser.add_argument("--codebook-init",
+                        choices=["mert", "encodec", "encodec-kmeans",
+                                 "kmeans", "random"],
                         default="mert",
                         help="Codebook initialization method (default: mert)")
     parser.add_argument("--codebook-cache-dir",
@@ -304,7 +312,25 @@ def main(argv: Optional[List[str]] = None) -> int:
     input_files: List[str] = []
     stdin_bytes: Optional[bytes] = None
 
-    if args.stdin:
+    if args.stream_stdin:
+        if args.input_files or args.stdin:
+            parser.error("--stream-stdin reads piped audio only (no file "
+                         "arguments / --stdin)")
+        if not has_piped_stdin():
+            parser.error("--stream-stdin requires audio piped on stdin")
+        # Sniff before committing: only PCM WAV streams decode
+        # incrementally; anything else falls back to buffered stdin with
+        # no bytes lost.
+        head = sys.stdin.buffer.read(1 << 16)
+        if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+            pipeline.stream_stdin(_PrefixedStream(head, sys.stdin.buffer),
+                                  logger.stdout)
+            return 0
+        logger.warn("--stream-stdin: input is not a WAV stream; "
+                    "falling back to buffered stdin")
+        stdin_bytes = head + read_stdin_bytes()
+
+    if args.stdin and stdin_bytes is None:
         raw = read_stdin_bytes()
         if looks_like_text(raw):
             text = raw.decode(errors="ignore")
@@ -313,7 +339,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             stdin_bytes = raw
             logger.debug(f"Read {len(stdin_bytes)} bytes from stdin (binary fallback)")
-    elif has_piped_stdin():
+    elif stdin_bytes is None and has_piped_stdin():
         stdin_bytes = read_stdin_bytes()
         logger.debug(f"Read {len(stdin_bytes) if stdin_bytes else 0} bytes from stdin")
 
@@ -353,6 +379,24 @@ def main(argv: Optional[List[str]] = None) -> int:
                         default_mode, enable_reconstruction)
     finally:
         cleanup_temp_files(temp_files)
+
+
+class _PrefixedStream:
+    """Binary reader that replays sniffed bytes before the live stream."""
+
+    def __init__(self, prefix: bytes, stream) -> None:
+        self._prefix = prefix
+        self._stream = stream
+
+    def read(self, n: int = -1) -> bytes:
+        if self._prefix:
+            if n is None or n < 0:
+                out = self._prefix + self._stream.read(n)
+                self._prefix = b""
+                return out
+            out, self._prefix = self._prefix[:n], self._prefix[n:]
+            return out
+        return self._stream.read(n)
 
 
 def _execute(args, parser, pipeline, input_files: List[str],

@@ -51,10 +51,29 @@ def _plot_waveforms(plt, audio, recon, sample_rate, out, base, files):
 
 
 def _plot_spectrograms(plt, audio, recon, sample_rate, out, base, files):
+    # One file per signal per transform (reference emits separate
+    # orig/recon STFT and mel PNGs, 3756-3931), plus a combined overview.
     for name, sig in (("original", audio),) + (
             (("reconstructed", recon),) if recon is not None else ()):
         mag = audio_metrics.stft_mag(np.asarray(sig), 2048, 512)
         mel = audio_metrics._mel_spec(np.asarray(sig), sample_rate, n_mels=128)
+
+        fig, ax = plt.subplots(figsize=(12, 5))
+        ax.imshow(20 * np.log10(mag + 1e-8), origin="lower",
+                  aspect="auto", cmap="magma")
+        ax.set_title(f"STFT magnitude (dB) — {name}")
+        fig.tight_layout()
+        _save(fig, out / f"{base}_stft_{name}.png", files)
+        plt.close(fig)
+
+        fig, ax = plt.subplots(figsize=(12, 5))
+        ax.imshow(np.log(mel + 1e-8), origin="lower", aspect="auto",
+                  cmap="magma")
+        ax.set_title(f"Mel spectrogram (log) — {name}")
+        fig.tight_layout()
+        _save(fig, out / f"{base}_mel_{name}.png", files)
+        plt.close(fig)
+
         fig, axes = plt.subplots(2, 1, figsize=(12, 8))
         axes[0].imshow(20 * np.log10(mag + 1e-8), origin="lower",
                        aspect="auto", cmap="magma")
@@ -73,6 +92,18 @@ def _plot_token_histograms(plt, result, out, base, files):
     n = len(sem) + len(acc)
     if n == 0:
         return
+    # Per-layer files (reference emits one histogram PNG per S/A layer)...
+    for prefix, codes_list, color in (("S", sem, "tab:blue"),
+                                      ("A", acc, "tab:red")):
+        for i, codes in enumerate(codes_list):
+            fig, ax = plt.subplots(figsize=(6, 4))
+            ax.hist(np.asarray(codes).ravel(), bins=64, color=color)
+            ax.set_title(f"Token usage — {prefix}{i}")
+            ax.set_xlabel("token id")
+            fig.tight_layout()
+            _save(fig, out / f"{base}_tokens_{prefix}{i}.png", files)
+            plt.close(fig)
+    # ...plus a combined overview grid.
     fig, axes = plt.subplots(2, max(len(sem), len(acc), 1),
                              figsize=(4 * max(len(sem), 1), 6), squeeze=False)
     for i, codes in enumerate(sem):

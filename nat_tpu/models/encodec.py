@@ -1,0 +1,268 @@
+"""EnCodec SEANet encoder (feature-extraction bridge), functional JAX.
+
+Counterpart of the reference's `EncodecBridge`
+(neural_audio_tokenizer.py:2506-2607) and the feature source for its legacy
+k-means codebook init (`initialize_from_encodec`, 1448-1565).  Differences
+by design:
+
+* weights come from a *direct checkpoint parse*
+  (:mod:`nat_tpu.quant.checkpoint_io`) — no torch model instantiation;
+* the bridge returns the true **continuous pre-quantization latents**
+  ``[T, hidden]``.  The reference requests the same ("features before
+  quantization") but its attribute probe misses — HF's encoder output has
+  no ``encoded_frames`` — so it silently degrades to the mean of *integer
+  code indices* over quantizers (2600-2606).  Real latents are strictly
+  better k-means material and are what the surrounding code documents.
+* pure functional forward (params pytree + jit), conv padding and LSTM
+  semantics numerically matched to the torch implementation (validated to
+  ~1e-5 in tests/test_encodec_bridge.py).
+
+Architecture (facebook/encodec_24khz): conv(1→F,k7) → per ratio r in
+reversed(ratios): [resnet(dim) ×N, ELU, conv(dim→2dim, k=2r, stride r)] →
+LSTM(2, residual) → ELU → conv(→hidden, k7); causal convs with reflect
+left-padding.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.logging import logger
+
+ENCODEC_SR = 24000
+DEFAULT_RATIOS = (8, 5, 4, 2)
+
+
+# ---------------------------------------------------------------------------
+# Weight conversion (torch state_dict → params pytree)
+# ---------------------------------------------------------------------------
+
+
+def _resolve_weight_norm(tensors: Dict[str, np.ndarray]) -> Optional[np.ndarray]:
+    """Materialize a conv weight from plain / weight-norm parametrizations."""
+    if "weight" in tensors:
+        return tensors["weight"]
+    g = tensors.get("parametrizations.weight.original0",
+                    tensors.get("weight_g"))
+    v = tensors.get("parametrizations.weight.original1",
+                    tensors.get("weight_v"))
+    if g is None or v is None:
+        return None
+    norm = np.sqrt(np.sum(v.astype(np.float64) ** 2, axis=(1, 2),
+                          keepdims=True))
+    return (g.astype(np.float64) * v / np.maximum(norm, 1e-12)).astype(
+        np.float32)
+
+
+def convert_encoder_params(
+    state_dict: Dict[str, np.ndarray],
+    ratios: Sequence[int] = DEFAULT_RATIOS,
+    prefix: str = "encoder.layers.",
+) -> Optional[Dict]:
+    """Group an EnCodec state dict into the functional encoder's params.
+
+    Returns ``{"layers": [(kind, params), ...]}`` ordered by torch layer
+    index, with strides assigned to the downsampling convs from
+    ``reversed(ratios)`` (parameterless ELU layers are implicit).
+    """
+    by_layer: Dict[int, Dict[str, np.ndarray]] = {}
+    for name, value in state_dict.items():
+        if not name.startswith(prefix):
+            continue
+        rest = name[len(prefix):]
+        match = re.match(r"(\d+)\.(.*)", rest)
+        if not match:
+            continue
+        idx = int(match.group(1))
+        by_layer.setdefault(idx, {})[match.group(2)] = np.asarray(
+            getattr(value, "numpy", lambda: value)()
+            if hasattr(value, "numpy") else value)
+    if not by_layer:
+        return None
+
+    def conv_params(tensors: Dict[str, np.ndarray], sub: str = "conv."):
+        scoped = {k[len(sub):]: v for k, v in tensors.items()
+                  if k.startswith(sub)}
+        w = _resolve_weight_norm(scoped)
+        if w is None:
+            return None
+        return {"w": w.astype(np.float32),
+                "b": scoped.get("bias", np.zeros(w.shape[0], np.float32))
+                .astype(np.float32)}
+
+    down_strides = list(reversed(list(ratios)))
+    plain_seen = 0
+    layers: List[Tuple[str, Dict]] = []
+    for idx in sorted(by_layer):
+        tensors = by_layer[idx]
+        if any(k.startswith("lstm.") for k in tensors):
+            num_layers = 1 + max(
+                int(re.search(r"_l(\d+)$", k).group(1))
+                for k in tensors if re.search(r"_l(\d+)$", k))
+            lstm = {"w_ih": [], "w_hh": [], "b_ih": [], "b_hh": []}
+            for l in range(num_layers):
+                lstm["w_ih"].append(tensors[f"lstm.weight_ih_l{l}"])
+                lstm["w_hh"].append(tensors[f"lstm.weight_hh_l{l}"])
+                lstm["b_ih"].append(tensors[f"lstm.bias_ih_l{l}"])
+                lstm["b_hh"].append(tensors[f"lstm.bias_hh_l{l}"])
+            layers.append(("lstm", {k: [np.asarray(a, np.float32) for a in v]
+                                    for k, v in lstm.items()}))
+        elif any(k.startswith("block.") for k in tensors):
+            block_idx = sorted({int(re.match(r"block\.(\d+)\.", k).group(1))
+                                for k in tensors if k.startswith("block.")})
+            convs = [conv_params(tensors, f"block.{bi}.conv.")
+                     for bi in block_idx]
+            shortcut = (conv_params(tensors, "shortcut.conv.")
+                        if any(k.startswith("shortcut.") for k in tensors)
+                        else None)
+            if any(c is None for c in convs):
+                return None
+            layers.append(("resnet", {"convs": convs, "shortcut": shortcut}))
+        elif any(k.startswith("conv.") for k in tensors):
+            conv = conv_params(tensors)
+            if conv is None:
+                return None
+            if plain_seen == 0:
+                stride = 1           # input conv
+            elif plain_seen - 1 < len(down_strides):
+                stride = down_strides[plain_seen - 1]
+            else:
+                stride = 1           # final projection conv
+            conv["stride"] = stride
+            conv["pre_elu"] = plain_seen > 0
+            plain_seen += 1
+            layers.append(("conv", conv))
+    return {"layers": layers} if layers else None
+
+
+# ---------------------------------------------------------------------------
+# Functional forward
+# ---------------------------------------------------------------------------
+
+
+def _causal_conv1d(x, w, b, stride: int):
+    """Causal conv matching torch EncodecConv1d: reflect left-pad of
+    (k - stride), plus right zero extra-padding to complete the last frame.
+    x: [B, C, T]; w: [out, in, k] (torch layout)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    k = w.shape[-1]
+    t = x.shape[-1]
+    padding_total = k - stride
+    n_frames = (t - k + padding_total) / stride + 1
+    ideal = (int(np.ceil(n_frames)) - 1) * stride + k - padding_total
+    extra = max(ideal - t, 0)
+    if padding_total > 0 or extra > 0:
+        # One reflect pad covering BOTH sides, exactly like torch
+        # EncodecConv1d._pad1d(…, (padding_total, extra), mode="reflect").
+        x = jnp.pad(x, ((0, 0), (0, 0), (max(padding_total, 0), extra)),
+                    mode="reflect")
+    out = lax.conv_general_dilated(
+        x, jnp.asarray(w), window_strides=(stride,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return out + jnp.asarray(b)[None, :, None]
+
+
+def _lstm_residual(x, params):
+    """torch nn.LSTM (gate order i,f,g,o) + residual skip.  x: [B, C, T]."""
+    import jax
+    import jax.numpy as jnp
+
+    h_in = jnp.swapaxes(x, 1, 2)  # [B, T, C]
+    seq = h_in
+    hidden = params["w_hh"][0].shape[1]
+    for w_ih, w_hh, b_ih, b_hh in zip(params["w_ih"], params["w_hh"],
+                                      params["b_ih"], params["b_hh"]):
+        w_ih_t = jnp.asarray(w_ih).T
+        w_hh_t = jnp.asarray(w_hh).T
+        bias = jnp.asarray(b_ih) + jnp.asarray(b_hh)
+
+        def step(carry, x_t):
+            h, c = carry
+            gates = x_t @ w_ih_t + h @ w_hh_t + bias
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        b = seq.shape[0]
+        init = (jnp.zeros((b, hidden), seq.dtype),
+                jnp.zeros((b, hidden), seq.dtype))
+        _, out = jax.lax.scan(step, init, jnp.swapaxes(seq, 0, 1))
+        seq = jnp.swapaxes(out, 0, 1)
+    return jnp.swapaxes(seq + h_in, 1, 2)
+
+
+def encoder_forward(params: Dict, waveform) -> "np.ndarray":
+    """Run the SEANet encoder.  waveform ``[B, T]`` → latents ``[B, Tl, H]``."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(waveform)[:, None, :]  # [B, 1, T]
+    for kind, p in params["layers"]:
+        if kind == "conv":
+            if p.get("pre_elu"):
+                x = jax.nn.elu(x)
+            x = _causal_conv1d(x, p["w"], p["b"], p.get("stride", 1))
+        elif kind == "resnet":
+            residual = x
+            h = x
+            for conv in p["convs"]:
+                h = jax.nn.elu(h)
+                h = _causal_conv1d(h, conv["w"], conv["b"], 1)
+            short = (residual if p["shortcut"] is None
+                     else _causal_conv1d(residual, p["shortcut"]["w"],
+                                         p["shortcut"]["b"], 1))
+            x = short + h
+        elif kind == "lstm":
+            x = _lstm_residual(x, p)
+    return jnp.swapaxes(x, 1, 2)  # [B, Tl, H]
+
+
+# ---------------------------------------------------------------------------
+# Bridge
+# ---------------------------------------------------------------------------
+
+
+class EncodecFeatureBridge:
+    """Feature source for the legacy k-means codebook init (reference
+    `EncodecBridge.extract_features_for_initialization`, 2548-2607)."""
+
+    def __init__(self, model_name: str = "facebook/encodec_24khz",
+                 ratios: Sequence[int] = DEFAULT_RATIOS) -> None:
+        from ..quant.checkpoint_io import load_local_state_dict
+
+        self.model_name = model_name
+        self.params: Optional[Dict] = None
+        state = load_local_state_dict(model_name)
+        if state is not None:
+            self.params = convert_encoder_params(state, ratios)
+        if self.params is None:
+            logger.info(f"EnCodec checkpoint {model_name} unavailable; "
+                        "feature bridge disabled")
+        else:
+            logger.info(f"EnCodec feature bridge ready ({model_name})")
+
+    @property
+    def available(self) -> bool:
+        return self.params is not None
+
+    def extract_features_for_initialization(
+            self, waveform: np.ndarray, sample_rate: int) -> np.ndarray:
+        """Audio → pre-quantization latents ``[T_latent, hidden]``."""
+        if not self.available:
+            raise RuntimeError("EnCodec model not available")
+        from ..dsp.resample import resample_jax
+
+        wave = np.atleast_2d(np.asarray(waveform, dtype=np.float32))
+        import jax.numpy as jnp
+
+        wave_j = jnp.asarray(wave)
+        if sample_rate != ENCODEC_SR:
+            wave_j = resample_jax(wave_j, sample_rate, ENCODEC_SR)
+        latents = encoder_forward(self.params, wave_j)
+        return np.asarray(latents).reshape(-1, latents.shape[-1])

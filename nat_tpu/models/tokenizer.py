@@ -22,6 +22,7 @@ Counterpart of reference `NeuralAudioTokenizer` (neural_audio_tokenizer.py:
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -42,6 +43,10 @@ from .semantic import (SemanticAudioEncoder, SpectralFallbackEncoder,
                       load_pretrained_semantic_params)
 
 SEMANTIC_SR = 16000
+
+# Codebook-init methods that k-means features of the input audio (the
+# reference's legacy EnCodec path, fixed and generalized).
+FEATURE_INIT_METHODS = ("encodec-kmeans", "kmeans")
 
 
 class NeuralAudioTokenizer:
@@ -131,7 +136,8 @@ class NeuralAudioTokenizer:
         self.params: Optional[Dict] = None
         self.sem_rvq: Optional[RVQState] = None
         self.acc_rvq: Optional[RVQState] = None
-        self._forward_cache: Dict[int, Any] = {}
+        self._forward_cache: Dict[Any, Any] = {}
+        self._needs_audio_seeding = False
         self._rng = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------------
@@ -197,28 +203,163 @@ class NeuralAudioTokenizer:
                     r_dec, d_dummy, 256)["params"]
         self.params = params
 
-        # Codebook seeding (explicit, cached; reference seeds 42 / 123)
-        common = dict(
-            method=self.codebook_init_method,
-            model_name=(self.encodec_model
-                        if self.codebook_init_method == "encodec" else None),
-            codebook_size=self.codebook_size,
-            cache_dir=self.codebook_cache_dir,
-            use_cache=self.enable_codebook_cache,
-            force_reinit=self.force_reinit_codebooks,
-        )
-        sem_cb = seeding.seed_codebooks(
-            extraction_type="semantic", num_layers=self.num_semantic_layers,
-            input_dim=self.semantic_dim, seed=self.seed, **common)
-        acc_cb = seeding.seed_codebooks(
-            extraction_type="acoustic", num_layers=self.num_acoustic_layers,
-            input_dim=self.acoustic_dim, seed=self.seed + 81, **common)
+        # Codebook seeding (explicit, cached; reference seeds 42 / 123).
+        # Feature-driven methods ("encodec-kmeans", "kmeans") need input
+        # audio: probe the cache here, defer actual seeding to the first
+        # maybe_seed_from_audio call (reference does this lazily inside
+        # forward, 3210-3214; our init stays explicit).
+        if self.codebook_init_method in FEATURE_INIT_METHODS:
+            cached = self._load_cached_feature_codebooks()
+            if cached is not None:
+                sem_cb, acc_cb = cached
+            else:
+                self._needs_audio_seeding = True
+                sem_cb = self._random_codebooks(
+                    self.num_semantic_layers, self.semantic_dim, self.seed)
+                acc_cb = self._random_codebooks(
+                    self.num_acoustic_layers, self.acoustic_dim,
+                    self.seed + 81)
+        else:
+            common = dict(
+                method=self.codebook_init_method,
+                model_name=(self.encodec_model
+                            if self.codebook_init_method == "encodec"
+                            else None),
+                codebook_size=self.codebook_size,
+                cache_dir=self.codebook_cache_dir,
+                use_cache=self.enable_codebook_cache,
+                force_reinit=self.force_reinit_codebooks,
+            )
+            sem_cb = seeding.seed_codebooks(
+                extraction_type="semantic",
+                num_layers=self.num_semantic_layers,
+                input_dim=self.semantic_dim, seed=self.seed, **common)
+            acc_cb = seeding.seed_codebooks(
+                extraction_type="acoustic",
+                num_layers=self.num_acoustic_layers,
+                input_dim=self.acoustic_dim, seed=self.seed + 81, **common)
+        self._set_codebooks(sem_cb, acc_cb)
+
+    def _set_codebooks(self, sem_cb, acc_cb) -> None:
         self.sem_rvq = RVQState(
             jnp.asarray(sem_cb), jnp.zeros(sem_cb.shape[:2]),
             jnp.asarray(sem_cb).copy())
         self.acc_rvq = RVQState(
             jnp.asarray(acc_cb), jnp.zeros(acc_cb.shape[:2]),
             jnp.asarray(acc_cb).copy())
+
+    def _random_codebooks(self, num_layers: int, dim: int,
+                          seed: int) -> np.ndarray:
+        cb = np.empty((num_layers, self.codebook_size, dim), np.float32)
+        for i in range(num_layers):
+            cb[i] = np.random.default_rng(seed + i * 123).standard_normal(
+                (self.codebook_size, dim)).astype(np.float32)
+        return cb
+
+    def _feature_seed_kwargs(self, extraction_type: str) -> Dict[str, Any]:
+        sem = extraction_type == "semantic"
+        return dict(
+            method=self.codebook_init_method,
+            extraction_type=extraction_type,
+            num_layers=(self.num_semantic_layers if sem
+                        else self.num_acoustic_layers),
+            codebook_size=self.codebook_size,
+            input_dim=self.semantic_dim if sem else self.acoustic_dim,
+            seed=self.seed if sem else self.seed + 81,
+            cache_dir=self.codebook_cache_dir,
+            use_cache=self.enable_codebook_cache,
+            force_reinit=self.force_reinit_codebooks,
+        )
+
+    def _load_cached_feature_codebooks(self):
+        """Cache-only probe (no writes) for the feature-driven methods."""
+        from ..quant import cache as cb_cache
+
+        if not self.enable_codebook_cache or self.force_reinit_codebooks:
+            return None
+        cache_dir = (Path(self.codebook_cache_dir) if self.codebook_cache_dir
+                     else cb_cache.get_default_codebook_cache_dir())
+        out = []
+        for extraction_type in ("semantic", "acoustic"):
+            kw = self._feature_seed_kwargs(extraction_type)
+            key = cb_cache.get_codebook_cache_key(
+                f"{kw['method']}_nat-tpu", kw["codebook_size"],
+                kw["num_layers"], kw["input_dim"], extraction_type)
+            cached = cb_cache.load_codebooks(
+                cache_dir, key, expect_shape=(
+                    kw["num_layers"], kw["codebook_size"], kw["input_dim"]))
+            if cached is None:
+                return None
+            out.append(cached[0])
+        return tuple(out)
+
+    # ------------------------------------------------------------------
+    # Feature-driven seeding (needs input audio)
+    # ------------------------------------------------------------------
+    def maybe_seed_from_audio(self, audio, sample_rate: int) -> None:
+        """Seed codebooks by k-means over features of the *input audio* —
+        the working version of the reference's legacy EnCodec init
+        (crashes upstream, :3126; here: EnCodec latents via the JAX bridge
+        for 'encodec-kmeans', or this model's own encoder features for
+        'kmeans').  No-op unless a feature method is configured and the
+        cache missed at init."""
+        if not getattr(self, "_needs_audio_seeding", False):
+            return
+        self.ensure_initialized()
+        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        sr = sample_rate or self.sample_rate
+        max_samples = int(30.0 * sr)  # bound seeding compile/compute
+        audio = audio[:max_samples]
+
+        if self.codebook_init_method == "encodec-kmeans":
+            from .encodec import EncodecFeatureBridge
+
+            bridge = EncodecFeatureBridge(self.encodec_model)
+            if not bridge.available:
+                logger.warn("encodec-kmeans init requested but no local "
+                            "EnCodec checkpoint; keeping deterministic "
+                            "random codebooks")
+                self._needs_audio_seeding = False
+                return
+            feats = bridge.extract_features_for_initialization(audio, sr)
+            f_sem = f_acc = feats
+        else:  # "kmeans": cluster in the quantizer's OWN feature space
+            # Features are the temporal-encoder outputs — exactly what the
+            # RVQs see at inference (minus time-alignment, which doesn't
+            # change the per-frame vectors' distribution).  Clustering in
+            # the true space, unwhitened, is what makes the centroids
+            # usable as codebooks; the reference clusters whitened
+            # foreign-space (EnCodec) features and its feature-seeded
+            # codebooks collapse at inference.
+            bucket = bucket_length(len(audio), sr)
+            wave = np.zeros((1, bucket), np.float32)
+            wave[0, :len(audio)] = audio
+            wave = jnp.asarray(wave)
+            acc_f = self.mel_encoder.apply(
+                {"params": self.params["mel_encoder"]}, wave)
+            acc_f = self.temporal_acoustic.apply(
+                {"params": self.params["temporal_acoustic"]}, acc_f)
+            wave16 = resample_jax(wave, sr, SEMANTIC_SR)
+            sem_f = self.semantic_encoder.apply(
+                {"params": self.params["semantic_encoder"]}, wave16)
+            sem_f = self.temporal_semantic.apply(
+                {"params": self.params["temporal_semantic"]}, sem_f)
+            f_sem = np.asarray(sem_f, np.float32).reshape(
+                -1, np.asarray(sem_f).shape[-1])
+            f_acc = np.asarray(acc_f, np.float32).reshape(
+                -1, np.asarray(acc_f).shape[-1])
+
+        whiten = self.codebook_init_method != "kmeans"
+        sem_cb = seeding.seed_codebooks(
+            features=f_sem, whiten_features=whiten,
+            **self._feature_seed_kwargs("semantic"))
+        acc_cb = seeding.seed_codebooks(
+            features=f_acc, whiten_features=whiten,
+            **self._feature_seed_kwargs("acoustic"))
+        self._set_codebooks(sem_cb, acc_cb)
+        self._needs_audio_seeding = False
+        logger.info(f"Codebooks seeded from input audio "
+                    f"({self.codebook_init_method})")
 
     # ------------------------------------------------------------------
     # Shape arithmetic (host-side, exact)
@@ -374,41 +515,50 @@ class NeuralAudioTokenizer:
         for start, length in spans:
             ext_start = max(0, start - overlap)
             ext_end = min(total, start + length + overlap)
-            ext_len = ext_end - ext_start
-            chunk = wave[:, ext_start:ext_end]
-            bucket = bucket_length(ext_len, sr)
-            if ext_len < bucket:
-                chunk = np.pad(chunk, ((0, 0), (0, bucket - ext_len)))
-            forward, _ = self._forward_for(bucket, sr)
-            self._rng, rng = jax.random.split(self._rng)
-            out = forward(self.params, self.sem_rvq, self.acc_rvq,
-                          jnp.asarray(chunk), rng)
-            valid_t = self._target_frames(ext_len, sr)
-            sem = np.asarray(out["semantic_codes"])[:, :, :valid_t]
-            acc = np.asarray(out["acoustic_codes"])[:, :, :valid_t]
+            yield self.tokenize_span(wave[:, ext_start:ext_end], ext_start,
+                                     start, length, overlap, sr)
+
+    def tokenize_span(self, chunk: np.ndarray, ext_start: int, start: int,
+                      length: int, overlap: int, sr: int) -> Dict:
+        """Tokenize one overlap-extended span (``chunk`` = samples
+        ``[ext_start : start+length+overlap]``); returns the per-chunk dict
+        :meth:`iter_chunks` yields.  Also the building block of the
+        streaming-stdin path, which produces spans incrementally."""
+        chunk = np.atleast_2d(np.asarray(chunk, dtype=np.float32))
+        ext_len = chunk.shape[-1]
+        bucket = bucket_length(ext_len, sr)
+        if ext_len < bucket:
+            chunk = np.pad(chunk, ((0, 0), (0, bucket - ext_len)))
+        forward, _ = self._forward_for(bucket, sr)
+        self._rng, rng = jax.random.split(self._rng)
+        out = forward(self.params, self.sem_rvq, self.acc_rvq,
+                      jnp.asarray(chunk), rng)
+        valid_t = self._target_frames(ext_len, sr)
+        sem = np.asarray(out["semantic_codes"])[:, :, :valid_t]
+        acc = np.asarray(out["acoustic_codes"])[:, :, :valid_t]
+        if overlap:
+            # Frame f covers samples centered at (f+0.5)*ext_len/valid_t
+            # (relative to ext_start); keep centers inside [start, end).
+            centers = ext_start + (np.arange(valid_t) + 0.5) * (
+                ext_len / max(valid_t, 1))
+            keep = (centers >= start) & (centers < start + length)
+            sem, acc = sem[:, :, keep], acc[:, :, keep]
+        reconstructed = None
+        if out["reconstructed"] is not None:
+            valid_samples = min(valid_t * self.hop_length, ext_len)
+            recon = np.asarray(out["reconstructed"])[:, :valid_samples]
             if overlap:
-                # Frame f covers samples centered at (f+0.5)*ext_len/valid_t
-                # (relative to ext_start); keep centers inside [start, end).
-                centers = ext_start + (np.arange(valid_t) + 0.5) * (
-                    ext_len / max(valid_t, 1))
-                keep = (centers >= start) & (centers < start + length)
-                sem, acc = sem[:, :, keep], acc[:, :, keep]
-            reconstructed = None
-            if out["reconstructed"] is not None:
-                valid_samples = min(valid_t * self.hop_length, ext_len)
-                recon = np.asarray(out["reconstructed"])[:, :valid_samples]
-                if overlap:
-                    lo = start - ext_start
-                    recon = recon[:, lo:lo + length]
-                reconstructed = recon
-            yield {
-                "semantic_codes": sem,
-                "acoustic_codes": acc,
-                "reconstructed": reconstructed,
-                "losses": {k: float(v) for k, v in out["losses"].items()},
-                "semantic_features": np.asarray(out["semantic_features"]),
-                "acoustic_features": np.asarray(out["acoustic_features"]),
-            }
+                lo = start - ext_start
+                recon = recon[:, lo:lo + length]
+            reconstructed = recon
+        return {
+            "semantic_codes": sem,
+            "acoustic_codes": acc,
+            "reconstructed": reconstructed,
+            "losses": {k: float(v) for k, v in out["losses"].items()},
+            "semantic_features": np.asarray(out["semantic_features"]),
+            "acoustic_features": np.asarray(out["acoustic_features"]),
+        }
 
     def __call__(self, waveform, actual_sample_rate: Optional[int] = None) -> Dict:
         sem_parts: List[np.ndarray] = []

@@ -179,6 +179,16 @@ def rvq_encode_pallas(
     time axis to the tile size; padding frames quantize to garbage that is
     sliced off before returning."""
     b, t, d = x.shape
+    if state.codebook_size % CHUNK_K != 0:
+        # Small/odd codebooks don't tile onto the kernel's K-chunking;
+        # the XLA path is equally fast at these sizes.
+        from ..quant.rvq import rvq_encode
+
+        codes, quantized, _ = rvq_encode(
+            state, x, temperature=(temperature or 0.5),
+            stochastic=temperature is not None,
+            rng=jax.random.PRNGKey(seed if seed is not None else 0))
+        return codes, quantized
     m = b * t
     m_pad = -(-m // TILE_M) * TILE_M
     flat = x.reshape(m, d)

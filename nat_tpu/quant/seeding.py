@@ -104,9 +104,15 @@ def kmeans_jax(
 
 
 def _preprocess_features(x: np.ndarray, max_samples: int = 100_000,
-                         seed: int = 42) -> np.ndarray:
+                         seed: int = 42, whiten: bool = True) -> np.ndarray:
     """Reference-style hygiene: drop non-finite rows, drop near-constant
-    features, subsample, standardize (612-940)."""
+    features, subsample, standardize (612-940).
+
+    ``whiten=False`` skips the standardization: codebooks seeded from
+    features in the *quantizer's own space* must keep that space's scale,
+    or argmin degenerates at inference time (the reference always whitens
+    and its feature-seeded codebooks collapse accordingly).
+    """
     x = np.asarray(x, dtype=np.float64)
     x = x[np.all(np.isfinite(x), axis=1)]
     if x.shape[0] == 0:
@@ -120,6 +126,8 @@ def _preprocess_features(x: np.ndarray, max_samples: int = 100_000,
     if x.shape[0] > max_samples:
         rng = np.random.default_rng(seed)
         x = x[rng.permutation(x.shape[0])[:max_samples]]
+    if not whiten:
+        return x.astype(np.float32)
     mean = x.mean(axis=0)
     std = x.std(axis=0)
     std[std < 1e-8] = 1.0
@@ -154,13 +162,14 @@ def robust_kmeans(
     k: int,
     seed: int = 42,
     max_retries: int = 3,
+    whiten: bool = True,
 ) -> np.ndarray:
     """Multi-strategy k-means with validation and geometric fallback.
 
     Retry seeds follow the reference's ``seed + retry*17 + strategy*7``
     pattern (755-765) so repeated runs are deterministic.
     """
-    x = _preprocess_features(x, seed=seed)
+    x = _preprocess_features(x, seed=seed, whiten=whiten)
     if x.shape[0] < k:
         logger.warn(f"k-means: only {x.shape[0]} samples for {k} clusters; "
                     "using geometric fallback")
@@ -319,6 +328,7 @@ def seed_codebooks(
     force_reinit: bool = False,
     features: Optional[np.ndarray] = None,
     refine_with_kmeans: bool = False,
+    whiten_features: bool = True,
 ) -> np.ndarray:
     """Produce stacked codebooks ``[num_layers, codebook_size, input_dim]``.
 
@@ -338,7 +348,29 @@ def seed_codebooks(
             return cached[0]
 
     vectors: Optional[np.ndarray] = None
-    if method in ("mert", "encodec") and features is None:
+    if features is not None:
+        # Feature-driven init (reference `initialize_from_encodec`,
+        # 1448-1565): per-layer k-means over the same features with the
+        # reference's per-layer seeds (42 + i*123 pattern).
+        features = np.asarray(features, dtype=np.float32)
+        codebook = np.empty((num_layers, codebook_size, input_dim),
+                            dtype=np.float32)
+        for i in range(num_layers):
+            centroids = robust_kmeans(features, codebook_size,
+                                      seed=seed + i * 123,
+                                      whiten=whiten_features)
+            codebook[i] = _align_dim(centroids.astype(np.float32),
+                                     input_dim, seed)
+        logger.info(f"Seeded {extraction_type} codebooks by k-means over "
+                    f"{features.shape[0]} feature vectors")
+        if use_cache:
+            cb_cache.save_codebooks(
+                cache_dir, key, codebook,
+                np.zeros((num_layers, codebook_size), dtype=np.float32),
+                codebook.copy(), force_reinit=force_reinit)
+        return codebook
+
+    if method in ("mert", "encodec"):
         default_names = {"mert": "m-a-p/MERT-v1-95M",
                          "encodec": "facebook/encodec_24khz"}
         state_dict = load_pretrained_state_dict(
@@ -347,10 +379,8 @@ def seed_codebooks(
             vectors = extract_weight_matrices(
                 state_dict, extraction_type, seed=seed,
                 split_by_order=(method == "encodec"))
-    elif features is not None:
-        vectors = np.asarray(features, dtype=np.float32)
-        if refine_with_kmeans:
-            vectors = robust_kmeans(vectors, codebook_size, seed=seed)
+    if vectors is not None and refine_with_kmeans:
+        vectors = robust_kmeans(vectors, codebook_size, seed=seed)
 
     codebook = np.empty((num_layers, codebook_size, input_dim), dtype=np.float32)
     rng = np.random.default_rng(seed)

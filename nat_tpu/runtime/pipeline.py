@@ -200,6 +200,7 @@ class AudioTokenizationPipeline:
             stochastic=self.stochastic,
             temperature=self.temperature,
             compute_dtype=self.compute_dtype,
+            semantic_arch=self.model_config.get("semantic_arch", "auto"),
         )
         tok.ensure_initialized()
         if self.model_path:
@@ -313,6 +314,8 @@ class AudioTokenizationPipeline:
         if _pretokenized is not None:
             result, encoding_time = _pretokenized
         else:
+            if hasattr(self.tokenizer, "maybe_seed_from_audio"):
+                self.tokenizer.maybe_seed_from_audio(audio, sr)
             encode_start = time.time()
             with annotate("nat/tokenize"):
                 result = self.tokenizer(audio[None, :], actual_sample_rate=sr)
@@ -472,6 +475,9 @@ class AudioTokenizationPipeline:
             duration_seconds=duration,
             include_legend=self.include_legend))
 
+        if hasattr(self.tokenizer, "maybe_seed_from_audio"):
+            self.tokenizer.maybe_seed_from_audio(audio, sr)
+
         sem_parts = []
         acc_parts = []
         recon_parts = []
@@ -537,6 +543,128 @@ class AudioTokenizationPipeline:
         }
 
     # ------------------------------------------------------------------
+    def stream_stdin(self, stream, write) -> Dict[str, Any]:
+        """Tokenize a WAV byte stream AS IT ARRIVES (``--stream-stdin``):
+        frames are emitted while later audio is still being piped in.
+
+        Span scheduling is identical to the buffered chunked path
+        (bucketing.chunk_spans), so tokens match buffered tokenization of
+        the same raw samples.  Documented differences: no global peak
+        normalization (the peak isn't known until EOF) and the header
+        carries ``audio_sha256: null`` — the raw-byte digest lands in
+        ``end.stats.audio_sha256`` instead.
+        """
+        from ..io.stream_reader import iter_stream_samples
+        from ..runtime.bucketing import MAX_SINGLE_CHUNK_S
+
+        tok = self.tokenizer
+        if not hasattr(tok, "tokenize_span"):
+            raise ValueError("--stream-stdin requires the neural tokenizer "
+                             "(compat mode reads buffered stdin)")
+        tok.ensure_initialized()
+        start_time = time.time()
+        self.budget_meter.reset()
+
+        gen = iter_stream_samples(stream)
+        kind, sr = next(gen)
+        assert kind == "rate"
+        max_len = int(MAX_SINGLE_CHUNK_S * sr)
+        overlap = int(sr)
+        core_len = max(max_len - 2 * overlap, max_len // 2)
+
+        self.streaming.ndjson_streamer.audio_sha256 = None
+        write(self.streaming.begin_stream(
+            metadata={
+                "file_path": "<stdin>",
+                "sample_rate": sr,
+                "processing_sample_rate": self.sample_rate,
+                "audio_sha256": None,
+                "model_id": self.model_id,
+                "compat_mode": self.compat_mode,
+                "streaming_input": True,
+            },
+            duration_seconds=None,
+            include_legend=self.include_legend))
+
+        buf = np.zeros(0, np.float32)
+        base = 0          # absolute sample index of buf[0]
+        total = 0
+        next_span = 0
+        sha: Optional[str] = None
+        sem_parts: List[np.ndarray] = []
+        acc_parts: List[np.ndarray] = []
+        encode_start = time.time()
+
+        def process_span(start: int, length: int, ov: int) -> None:
+            ext_start = max(0, start - ov)
+            ext_end = min(total, start + length + ov)
+            seg = buf[ext_start - base: ext_end - base]
+            if hasattr(tok, "maybe_seed_from_audio"):
+                tok.maybe_seed_from_audio(seg, sr)
+            out = tok.tokenize_span(seg[None, :], ext_start, start, length,
+                                    ov, sr)
+            for line in self.streaming.feed_frames(
+                    out["semantic_codes"][:, 0], out["acoustic_codes"][:, 0]):
+                write(line)
+            sem_parts.append(out["semantic_codes"])
+            acc_parts.append(out["acoustic_codes"])
+
+        for kind, payload in gen:
+            if kind == "sha256":
+                sha = payload
+                continue
+            buf = np.concatenate([buf, payload])
+            total += int(payload.size)
+            # Interior span k is processable once its extended window is
+            # fully buffered AND the stream is provably multi-span
+            # (total > max_len) — exactly when the buffered path would
+            # also split (chunk_spans).
+            while (total > max_len
+                   and total >= (next_span + 1) * core_len + overlap):
+                process_span(next_span * core_len, core_len, overlap)
+                next_span += 1
+                keep_from = next_span * core_len - overlap
+                if keep_from > base:
+                    buf = buf[keep_from - base:]
+                    base = keep_from
+
+        if next_span == 0 and total <= max_len:
+            process_span(0, total, 0)  # single span, no overlap (buffered
+            #                            path drops the margin too)
+        else:
+            start = next_span * core_len
+            while start < total:
+                process_span(start, min(core_len, total - start), overlap)
+                start += core_len
+        encoding_time = time.time() - encode_start
+
+        sem_codes = np.concatenate(sem_parts, axis=-1)
+        acc_codes = np.concatenate(acc_parts, axis=-1)
+        num_frames = int(sem_codes.shape[-1])
+        self.budget_meter.sample_rate = sr
+        self.budget_meter.update(total, num_frames, int(sem_codes.size),
+                                 int(acc_codes.size))
+        result = {
+            "semantic_codes": [sem_codes[i] for i in range(sem_codes.shape[0])],
+            "acoustic_codes": [acc_codes[i] for i in range(acc_codes.shape[0])],
+        }
+        self.evaluator.sample_rate = sr
+        metrics = self.evaluator.evaluate_tokenization(
+            np.asarray(buf), self.tokenizer, None,
+            precomputed_result=result, encoding_time=encoding_time)
+        budget_metrics = self.budget_meter.get_metrics()
+        stats = {**asdict(metrics), **asdict(budget_metrics)}
+        if sha:
+            stats["audio_sha256"] = sha
+        for line in self.streaming.end_stream(stats):
+            write(line)
+        logger.info(
+            f"Streaming-stdin complete in {time.time() - start_time:.2f}s "
+            f"({total / sr:.1f}s audio, {num_frames} frames)")
+        return {**result, "num_frames": num_frames, "metrics": metrics,
+                "budget_metrics": budget_metrics}
+
+    # ------------------------------------------------------------------
     def _tokenize_many(self, input_paths: List[str]) -> List[Any]:
         """Load + tokenize many files, data-parallel over local devices.
 
@@ -568,6 +696,12 @@ class AudioTokenizationPipeline:
                     if not isinstance(item, Exception)
                     and len(item[0]) <= MAX_SINGLE_CHUNK_S * item[1]
                 ]
+
+        if hasattr(self.tokenizer, "maybe_seed_from_audio"):
+            for item in loaded:
+                if not isinstance(item, Exception):
+                    self.tokenizer.maybe_seed_from_audio(item[0], item[1])
+                    break
 
         results: List[Any] = [None] * len(input_paths)
         if len(dp_eligible) > 1:

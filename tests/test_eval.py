@@ -147,7 +147,16 @@ class TestArtifacts:
 
         files = generate_visualizations(_tone(440), result, str(tmp_path),
                                         "t", sample_rate=SR, sequential=True)
-        assert len(files) >= 4
+        names = {f.split("/")[-1] for f in files}
+        # reference-parity file coverage: per-signal STFT/mel, per-layer
+        # token histograms, waveform, feature heatmaps (reference ~9 PNGs)
+        for expected in ("t_waveform.png", "t_stft_original.png",
+                         "t_mel_original.png", "t_stft_reconstructed.png",
+                         "t_mel_reconstructed.png", "t_tokens_S0.png",
+                         "t_tokens_S3.png", "t_tokens_A0.png",
+                         "t_tokens_A3.png", "t_token_histograms.png",
+                         "t_semantic_features.png"):
+            assert expected in names, expected
         for f in files:
             assert (tmp_path / f.split("/")[-1]).stat().st_size > 0
 

@@ -1,0 +1,179 @@
+"""Streaming-stdin: tokenize WAV bytes as they arrive (--stream-stdin).
+
+Covers the incremental WAV reader (block-size independence, multi-channel
+mixdown, format gates) and the pipeline contract: frames are emitted
+BEFORE the stream hits EOF, tokens match buffered tokenization of the same
+raw samples, and the raw-byte sha256 lands in end.stats.
+"""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from nat_tpu.io.audio import decode_wav, encode_wav_pcm16
+from nat_tpu.io.stream_reader import StreamingWavReader, iter_stream_samples
+
+
+def _wav_bytes(seconds=1.0, sr=8000, freq=440.0):
+    t = np.arange(int(sr * seconds)) / sr
+    x = (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    return encode_wav_pcm16(x, sr), x
+
+
+class TestStreamingWavReader:
+    @pytest.mark.parametrize("block", [7, 64, 4096])
+    def test_matches_buffered_decode(self, block):
+        data, _ = _wav_bytes()
+        expected, sr = decode_wav(data)
+
+        reader = StreamingWavReader()
+        parts = []
+        for off in range(0, len(data), block):
+            reader.feed(data[off:off + block])
+            got = reader.take_samples()
+            if got is not None:
+                parts.append(got)
+        streamed = np.concatenate(parts)
+        assert reader.sample_rate == sr
+        np.testing.assert_array_equal(streamed, expected)
+
+    def test_iter_stream_samples_protocol(self):
+        data, _ = _wav_bytes()
+        events = list(iter_stream_samples(io.BytesIO(data), block_bytes=128))
+        assert events[0][0] == "rate" and events[0][1] == 8000
+        assert events[-1][0] == "sha256"
+        import hashlib
+
+        assert events[-1][1] == hashlib.sha256(data).hexdigest()
+        samples = np.concatenate([p for k, p in events if k == "samples"])
+        expected, _ = decode_wav(data)
+        np.testing.assert_array_equal(samples, expected)
+
+    def test_non_wav_rejected(self):
+        with pytest.raises(ValueError):
+            list(iter_stream_samples(io.BytesIO(b"OggS" + bytes(64))))
+
+    def test_stereo_mixdown(self):
+        import struct
+
+        sr = 8000
+        left = (np.sin(np.linspace(0, 20, 800)) * 0.5).astype(np.float32)
+        right = (np.cos(np.linspace(0, 20, 800)) * 0.5).astype(np.float32)
+        inter = np.stack([left, right], 1).ravel()
+        pcm = (np.clip(inter, -1, 1) * 32767).astype("<i2").tobytes()
+        header = struct.pack(
+            "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE",
+            b"fmt ", 16, 1, 2, sr, sr * 4, 4, 16, b"data", len(pcm))
+        expected, _ = decode_wav(header + pcm)
+        events = list(iter_stream_samples(io.BytesIO(header + pcm),
+                                          block_bytes=333))
+        streamed = np.concatenate([p for k, p in events if k == "samples"])
+        np.testing.assert_allclose(streamed, expected, atol=1e-7)
+
+
+class _TrackedStream:
+    """BytesIO wrapper recording how much was unread at each observation."""
+
+    def __init__(self, data: bytes) -> None:
+        self._io = io.BytesIO(data)
+        self.total = len(data)
+
+    def read(self, n: int = -1) -> bytes:
+        return self._io.read(n)
+
+    @property
+    def remaining(self) -> int:
+        return self.total - self._io.tell()
+
+
+@pytest.mark.slow
+class TestPipelineStreamStdin:
+    @pytest.fixture(scope="class")
+    def pipeline(self):
+        from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
+
+        return AudioTokenizationPipeline(
+            sample_rate=8000,
+            model_config={"codebook_size": 64, "semantic_dim": 64,
+                          "acoustic_dim": 64, "n_mels": 32},
+            enable_reconstruction=False,
+            codebook_init_method="random",
+            enable_codebook_cache=False,
+        )
+
+    def test_frames_emitted_before_eof_and_tokens_match(self, pipeline):
+        sr = 8000
+        seconds = 70.0  # 3 spans at the 30 s chunk limit
+        rng = np.random.default_rng(0)
+        t = np.arange(int(sr * seconds)) / sr
+        x = (0.4 * np.sin(2 * np.pi * 440 * t)
+             + 0.1 * rng.standard_normal(t.size)).astype(np.float32)
+        # encode_wav quantizes; compare against what the reader yields
+        data = encode_wav_pcm16(x, sr)
+        raw_audio, _ = decode_wav(data)
+
+        stream = _TrackedStream(data)
+        lines = []
+        remaining_at_first_frame = [None]
+
+        def write(line):
+            if ('"event":"frame"' in line
+                    and remaining_at_first_frame[0] is None):
+                remaining_at_first_frame[0] = stream.remaining
+            lines.extend(line.splitlines())
+
+        result = pipeline.stream_stdin(stream, write)
+
+        # frames streamed out while a meaningful amount of audio was unread
+        assert remaining_at_first_frame[0] is not None
+        assert remaining_at_first_frame[0] > stream.total * 0.3
+
+        header = json.loads(lines[0])
+        assert header["event"] == "header"
+        assert header.get("audio_sha256") is None
+        end = json.loads(lines[-1])
+        assert end["event"] == "end"
+        import hashlib
+
+        assert end["stats"]["audio_sha256"] == hashlib.sha256(
+            data).hexdigest()
+
+        # tokens identical to buffered tokenization of the same raw samples
+        buffered = pipeline.tokenizer(raw_audio[None, :],
+                                      actual_sample_rate=sr)
+        for got, want in zip(result["semantic_codes"],
+                             buffered["semantic_codes"]):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        for got, want in zip(result["acoustic_codes"],
+                             buffered["acoustic_codes"]):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_short_input_single_span(self, pipeline):
+        data, _ = _wav_bytes(seconds=1.0, sr=8000)
+        raw_audio, _ = decode_wav(data)
+        lines = []
+        result = pipeline.stream_stdin(
+            _TrackedStream(data), lambda l: lines.extend(l.splitlines()))
+        buffered = pipeline.tokenizer(raw_audio[None, :],
+                                      actual_sample_rate=8000)
+        assert result["num_frames"] == buffered["num_frames"]
+        for got, want in zip(result["semantic_codes"],
+                             buffered["semantic_codes"]):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.slow
+def test_cli_stream_stdin(cli):
+    data, _ = _wav_bytes(seconds=1.0, sr=8000)
+    rc, out, err = cli(["--stream-stdin", "--codebook-size", "64",
+                     "--semantic-dim", "64", "--acoustic-dim", "64",
+                     "--n-mels", "32", "--no-reconstruction"],
+                    stdin_bytes=data, timeout=600)
+    assert rc == 0, err
+    lines = [json.loads(l) for l in out.splitlines()]
+    assert lines[0]["event"] == "header"
+    assert lines[0].get("audio_sha256") is None
+    assert lines[-1]["event"] == "end"
+    assert any(l["event"] == "frame" for l in lines)
