@@ -43,20 +43,20 @@ def make_train_state(tokenizer, optimizer, mesh=None) -> TrainState:
     """Build (and optionally shard) the initial training state from an
     initialized :class:`~nat_tpu.models.tokenizer.NeuralAudioTokenizer`."""
     tokenizer.ensure_initialized()
-    params = tokenizer.params
+    # Deep-copy FIRST: the train step donates its input state, and
+    # device_put can share per-device buffers with the source array
+    # (replicated shardings reuse the device-0 buffer), so donation would
+    # delete the tokenizer's own params on the first step.
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                    tokenizer.params)
+    sem_rvq = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                     tokenizer.sem_rvq)
+    acc_rvq = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                     tokenizer.acc_rvq)
     if mesh is not None:
         params = shard_params(params, mesh)
-        sem_rvq = jax.device_put(tokenizer.sem_rvq, rvq_state_sharding(mesh))
-        acc_rvq = jax.device_put(tokenizer.acc_rvq, rvq_state_sharding(mesh))
-    else:
-        # Deep-copy: the train step donates its input state, and aliasing
-        # the tokenizer's own arrays would delete them on the first step.
-        params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
-                                        params)
-        sem_rvq = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
-                                         tokenizer.sem_rvq)
-        acc_rvq = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
-                                         tokenizer.acc_rvq)
+        sem_rvq = jax.device_put(sem_rvq, rvq_state_sharding(mesh))
+        acc_rvq = jax.device_put(acc_rvq, rvq_state_sharding(mesh))
     opt_state = optimizer.init(params)
     return TrainState(params, opt_state, sem_rvq, acc_rvq,
                       jnp.zeros((), jnp.int32))

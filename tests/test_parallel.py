@@ -112,3 +112,49 @@ class TestTrainStep:
         batch = jax.random.normal(rng, (4, 11025), dtype=jnp.float32)
         new_state, _ = step(state, batch, rng)
         assert np.any(np.asarray(new_state.sem_rvq.ema_count) > 0)
+
+
+class TestShardedCheckpoint:
+    """Orbax TrainState checkpoints survive mesh-shape changes
+    (VERDICT round 1, next-round #9)."""
+
+    def test_resume_on_different_mesh(self, tmp_path):
+        import optax
+
+        from nat_tpu.models.tokenizer import NeuralAudioTokenizer
+        from nat_tpu.parallel.checkpoint import restore_sharded, save_sharded
+        from nat_tpu.parallel.train import make_train_state, make_train_step
+
+        tok = NeuralAudioTokenizer(
+            sample_rate=16000, codebook_size=64, num_quantizers=4,
+            semantic_dim=64, acoustic_dim=64, n_mels=32,
+            codebook_init_method="random", enable_codebook_cache=False,
+            use_pretrained_semantic=False, enable_reconstruction=True)
+        optimizer = optax.adamw(1e-4)
+
+        mesh_a = make_mesh((4, 2))
+        state = make_train_state(tok, optimizer, mesh=mesh_a)
+        step = make_train_step(tok, optimizer, mesh=mesh_a)
+        batch = np.random.default_rng(0).standard_normal(
+            (4, 8000)).astype(np.float32)
+        rng = jax.random.PRNGKey(0)
+        state, _ = step(state, batch, rng)
+        path = tmp_path / "ckpt"
+        save_sharded(str(path), state)
+        saved_params = jax.tree_util.tree_map(np.asarray, state.params)
+
+        # Fresh state on a DIFFERENT mesh shape; restore reshards onto it.
+        mesh_b = make_mesh((2, 4))
+        like = make_train_state(tok, optimizer, mesh=mesh_b)
+        restored = restore_sharded(str(path), like, mesh=mesh_b)
+        assert int(np.asarray(restored.step)) == 1
+        got = jax.tree_util.tree_map(np.asarray, restored.params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=0),
+            saved_params, got)
+
+        # and training continues on the new mesh
+        step_b = make_train_step(tok, optimizer, mesh=mesh_b)
+        restored, metrics = step_b(restored, batch, rng)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(np.asarray(restored.step)) == 2
