@@ -78,19 +78,62 @@ def stft_power(
     """Magnitude(^power) STFT of ``[..., T]`` → ``[..., n_freqs, frames]``."""
     win_length = win_length or n_fft
     if window is None:
-        window = jnp.asarray(hann_window(win_length))
+        window = hann_window(win_length)
+    # Host-side window copy (when available) lets the block-DFT path fold
+    # the window into the constant bases; a traced window falls back to the
+    # dense-frames path.
+    window_np = np.asarray(window) if isinstance(
+        window, np.ndarray) else None
+    window = jnp.asarray(window)
     if win_length < n_fft:  # torch centers the window in the frame
         lpad = (n_fft - win_length) // 2
         window = jnp.pad(window, (lpad, n_fft - win_length - lpad))
+        if window_np is not None:
+            window_np = np.pad(window_np,
+                               (lpad, n_fft - win_length - lpad))
 
-    frames = frame_signal(x, n_fft, hop_length, center, pad_mode) * window
-
-    if use_matmul_dft:
+    if use_matmul_dft and n_fft % hop_length == 0 and window_np is not None:
+        # Shifted-block DFT: never materialize the [..., frames, n_fft]
+        # window tensor (it is n_fft/hop × the signal size and its
+        # gather/scatter dominates STFT time on TPU).  With r = n_fft/hop
+        # hop-sized signal blocks xb, frame f is concat(xb[f:f+r]), so
+        #   re[f] = Σ_j (xb[f+j] · w_j) @ C[j·hop:(j+1)·hop]
+        # — r shifted [n, hop] × [hop, n_freq] matmuls with the window
+        # folded into the bases.  Same math as the dense form (addition
+        # order differs per partial only), all MXU work, zero gathers.
+        cos_b, sin_b = _dft_bases(n_fft)
+        wf = window_np.astype(np.float32)[:, None]
+        cos_w = jnp.asarray(wf * cos_b)
+        sin_w = jnp.asarray(wf * sin_b)
+        if center:
+            pad = n_fft // 2
+            xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)],
+                         mode=pad_mode)
+        else:
+            xp = x
+        t = xp.shape[-1]
+        n = (t - n_fft) // hop_length + 1
+        r = n_fft // hop_length
+        nb = n + r - 1
+        xp = xp[..., : nb * hop_length]
+        xb = xp.reshape(*xp.shape[:-1], nb, hop_length)
+        re = im = 0.0
+        for j in range(r):
+            blk = xb[..., j : j + n, :]
+            sl = slice(j * hop_length, (j + 1) * hop_length)
+            re = re + jnp.matmul(blk, cos_w[sl],
+                                 precision=jax.lax.Precision.HIGHEST)
+            im = im + jnp.matmul(blk, sin_w[sl],
+                                 precision=jax.lax.Precision.HIGHEST)
+        mag_sq = re * re + im * im
+    elif use_matmul_dft:
+        frames = frame_signal(x, n_fft, hop_length, center, pad_mode) * window
         cos_b, sin_b = _dft_bases(n_fft)
         re = jnp.matmul(frames, jnp.asarray(cos_b), precision=jax.lax.Precision.HIGHEST)
         im = -jnp.matmul(frames, jnp.asarray(sin_b), precision=jax.lax.Precision.HIGHEST)
         mag_sq = re * re + im * im
     else:
+        frames = frame_signal(x, n_fft, hop_length, center, pad_mode) * window
         spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
         mag_sq = jnp.abs(spec) ** 2
 

@@ -42,9 +42,11 @@ POS_CONV_KERNEL = 128
 POS_CONV_GROUPS = 16
 
 
-def feature_extractor_output_length(num_samples: int) -> int:
+def feature_extractor_output_length(
+        num_samples: int,
+        conv_layers: Sequence[Tuple[int, int, int]] = CONV_LAYERS) -> int:
     t = num_samples
-    for _, kernel, stride in CONV_LAYERS:
+    for _, kernel, stride in conv_layers:
         t = (t - kernel) // stride + 1
     return t
 
@@ -53,11 +55,12 @@ class FeatureExtractor(nn.Module):
     """7-layer strided conv stack, 16 kHz waveform → [B, T', 512] @ ~50 Hz."""
 
     dtype: jnp.dtype = jnp.float32
+    conv_layers: Sequence[Tuple[int, int, int]] = CONV_LAYERS
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = x[..., None].astype(self.dtype)               # [B, T, 1]
-        for i, (dim, kernel, stride) in enumerate(CONV_LAYERS):
+        for i, (dim, kernel, stride) in enumerate(self.conv_layers):
             h = nn.Conv(dim, (kernel,), strides=(stride,), padding="VALID",
                         use_bias=False, dtype=self.dtype, name=f"conv_{i}")(h)
             if i == 0:  # base config: group-norm after the first conv only
@@ -71,42 +74,62 @@ class TransformerLayer(nn.Module):
     """Post-norm encoder layer (wav2vec2-base convention)."""
 
     dtype: jnp.dtype = jnp.float32
+    hidden: int = HIDDEN
+    num_heads: int = NUM_HEADS
+    ffn_dim: int = FFN_DIM
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         attn = nn.MultiHeadDotProductAttention(
-            num_heads=NUM_HEADS, qkv_features=HIDDEN, out_features=HIDDEN,
+            num_heads=self.num_heads, qkv_features=self.hidden,
+            out_features=self.hidden,
             dtype=self.dtype, name="attention")(x, x)
         x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x + attn)
-        ffn = nn.Dense(FFN_DIM, dtype=self.dtype, name="fc1")(x)
-        ffn = nn.Dense(HIDDEN, dtype=self.dtype,
+        ffn = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
+        ffn = nn.Dense(self.hidden, dtype=self.dtype,
                        name="fc2")(nn.gelu(ffn, approximate=False))
         return nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x + ffn)
 
 
 class Wav2Vec2Encoder(nn.Module):
-    """Full wav2vec2-base trunk: 16 kHz waveform → hidden states [B, T', 768]."""
+    """Full wav2vec2-base trunk: 16 kHz waveform → hidden states [B, T', 768].
+
+    Defaults are the facebook/wav2vec2-base config (what checkpoints load
+    into); the size fields exist so sharding dryruns and tests can compile a
+    structurally identical tiny transformer cheaply.
+    """
 
     dtype: jnp.dtype = jnp.float32
+    hidden: int = HIDDEN
+    num_layers: int = NUM_LAYERS
+    num_heads: int = NUM_HEADS
+    ffn_dim: int = FFN_DIM
+    conv_layers: Sequence[Tuple[int, int, int]] = CONV_LAYERS
+    pos_conv_kernel: int = POS_CONV_KERNEL
+    pos_conv_groups: int = POS_CONV_GROUPS
 
     @nn.compact
     def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
         feats = FeatureExtractor(dtype=self.dtype,
+                                 conv_layers=self.conv_layers,
                                  name="feature_extractor")(waveform)
         h = nn.LayerNorm(dtype=self.dtype, name="fp_layer_norm")(feats)
-        h = nn.Dense(HIDDEN, dtype=self.dtype, name="fp_projection")(h)
+        h = nn.Dense(self.hidden, dtype=self.dtype, name="fp_projection")(h)
 
         # Convolutional positional embedding (grouped conv, GELU), then
         # post-norm. HF pads 64 both sides and drops the final column.
-        pos = nn.Conv(HIDDEN, (POS_CONV_KERNEL,),
-                      feature_group_count=POS_CONV_GROUPS,
-                      padding=[(POS_CONV_KERNEL // 2, POS_CONV_KERNEL // 2)],
+        pos = nn.Conv(self.hidden, (self.pos_conv_kernel,),
+                      feature_group_count=self.pos_conv_groups,
+                      padding=[(self.pos_conv_kernel // 2,
+                                self.pos_conv_kernel // 2)],
                       dtype=self.dtype, name="pos_conv")(h)
         pos = nn.gelu(pos[:, : h.shape[1], :], approximate=False)
         h = nn.LayerNorm(dtype=self.dtype, name="encoder_layer_norm")(h + pos)
 
-        for i in range(NUM_LAYERS):
-            h = TransformerLayer(dtype=self.dtype, name=f"layer_{i}")(h)
+        for i in range(self.num_layers):
+            h = TransformerLayer(dtype=self.dtype, hidden=self.hidden,
+                                 num_heads=self.num_heads,
+                                 ffn_dim=self.ffn_dim, name=f"layer_{i}")(h)
         return h
 
 
@@ -115,10 +138,12 @@ class SemanticAudioEncoder(nn.Module):
 
     output_dim: int = 512
     dtype: jnp.dtype = jnp.float32
+    arch: Optional[Dict[str, Any]] = None   # Wav2Vec2Encoder size overrides
 
     @nn.compact
     def __call__(self, waveform_16k: jnp.ndarray) -> jnp.ndarray:
-        h = Wav2Vec2Encoder(dtype=self.dtype, name="wav2vec2")(waveform_16k)
+        h = Wav2Vec2Encoder(dtype=self.dtype, name="wav2vec2",
+                            **(self.arch or {}))(waveform_16k)
         return nn.Dense(self.output_dim, dtype=self.dtype,
                         name="projection")(h).astype(jnp.float32)
 

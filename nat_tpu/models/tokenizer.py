@@ -76,6 +76,7 @@ class NeuralAudioTokenizer:
         semantic_arch: str = "auto",
         use_pallas: Optional[bool] = None,
         compute_dtype: Optional[str] = None,
+        semantic_arch_config: Optional[Dict[str, Any]] = None,
     ) -> None:
         self.sample_rate = sample_rate
         self.semantic_dim = semantic_dim
@@ -106,6 +107,10 @@ class NeuralAudioTokenizer:
         # (random-init without a checkpoint — honest-FLOPs benchmarking);
         # "spectral" = force the light fallback.
         self.semantic_arch = semantic_arch
+        # Optional Wav2Vec2Encoder size overrides (hidden/num_layers/...);
+        # None = the base config every real checkpoint uses.  Lets sharding
+        # dryruns compile a structurally identical tiny transformer.
+        self.semantic_arch_config = semantic_arch_config
         on_accelerator = any(d.platform not in ("cpu",) for d in jax.devices())
         if use_pallas is None:
             use_pallas = on_accelerator
@@ -170,7 +175,8 @@ class NeuralAudioTokenizer:
             self.semantic_encoder = SemanticAudioEncoder(
                 output_dim=self.semantic_dim,
                 dtype=(jnp.bfloat16 if self.compute_dtype == "bfloat16"
-                       else jnp.float32))
+                       else jnp.float32),
+                arch=self.semantic_arch_config)
             init_params = jax.jit(self.semantic_encoder.init)(
                 r_sem, dummy16)["params"]
             if pretrained is not None:
@@ -374,6 +380,9 @@ class NeuralAudioTokenizer:
         t16 = resample_output_length(samples, sr, SEMANTIC_SR)
         if self.semantic_fallback:
             return t16 // 320 + 1
+        conv_layers = (self.semantic_arch_config or {}).get("conv_layers")
+        if conv_layers is not None:
+            return feature_extractor_output_length(t16, conv_layers)
         return feature_extractor_output_length(t16)
 
     def _target_frames(self, samples: int,
