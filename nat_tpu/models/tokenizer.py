@@ -23,7 +23,7 @@ Counterpart of reference `NeuralAudioTokenizer` (neural_audio_tokenizer.py:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,18 @@ SEMANTIC_SR = 16000
 # Codebook-init methods that k-means features of the input audio (the
 # reference's legacy EnCodec path, fixed and generalized).
 FEATURE_INIT_METHODS = ("encodec-kmeans", "kmeans")
+
+
+class SpanMeta(NamedTuple):
+    """Geometry of one overlap-extended chunk span (see ``iter_chunks``)."""
+
+    ext_start: int   # first sample of the extended span in the full signal
+    start: int       # first sample the span is responsible for
+    length: int      # samples the span is responsible for
+    overlap: int     # overlap margin in samples (0 = single-span signal)
+    sr: int
+    ext_len: int     # true (pre-padding) extended-span length
+    bucket: int      # padded bucket length
 
 
 class NeuralAudioTokenizer:
@@ -527,38 +539,41 @@ class NeuralAudioTokenizer:
             yield self.tokenize_span(wave[:, ext_start:ext_end], ext_start,
                                      start, length, overlap, sr)
 
-    def tokenize_span(self, chunk: np.ndarray, ext_start: int, start: int,
-                      length: int, overlap: int, sr: int) -> Dict:
-        """Tokenize one overlap-extended span (``chunk`` = samples
-        ``[ext_start : start+length+overlap]``); returns the per-chunk dict
-        :meth:`iter_chunks` yields.  Also the building block of the
-        streaming-stdin path, which produces spans incrementally."""
+    def prepare_span(self, chunk: np.ndarray, ext_start: int, start: int,
+                     length: int, overlap: int, sr: int):
+        """Bucket-pad one overlap-extended span; returns
+        ``(padded_chunk [B, bucket], SpanMeta)``.  Pure host-side prep —
+        the data-parallel runner uses it to build cross-file batches whose
+        rows are bit-identical to the sequential path's inputs."""
         chunk = np.atleast_2d(np.asarray(chunk, dtype=np.float32))
         ext_len = chunk.shape[-1]
         bucket = bucket_length(ext_len, sr)
         if ext_len < bucket:
             chunk = np.pad(chunk, ((0, 0), (0, bucket - ext_len)))
-        forward, _ = self._forward_for(bucket, sr)
-        self._rng, rng = jax.random.split(self._rng)
-        out = forward(self.params, self.sem_rvq, self.acc_rvq,
-                      jnp.asarray(chunk), rng)
-        valid_t = self._target_frames(ext_len, sr)
+        return chunk, SpanMeta(ext_start, start, length, overlap, sr,
+                               ext_len, bucket)
+
+    def finalize_span(self, out: Dict, meta: "SpanMeta") -> Dict:
+        """Slice one span's raw forward output (host numpy arrays, shapes
+        ``codes [N, B, Tt]`` / ``reconstructed [B, S]``) down to the frames
+        whose centers fall inside the span's own extent."""
+        valid_t = self._target_frames(meta.ext_len, meta.sr)
         sem = np.asarray(out["semantic_codes"])[:, :, :valid_t]
         acc = np.asarray(out["acoustic_codes"])[:, :, :valid_t]
-        if overlap:
+        if meta.overlap:
             # Frame f covers samples centered at (f+0.5)*ext_len/valid_t
             # (relative to ext_start); keep centers inside [start, end).
-            centers = ext_start + (np.arange(valid_t) + 0.5) * (
-                ext_len / max(valid_t, 1))
-            keep = (centers >= start) & (centers < start + length)
+            centers = meta.ext_start + (np.arange(valid_t) + 0.5) * (
+                meta.ext_len / max(valid_t, 1))
+            keep = (centers >= meta.start) & (centers < meta.start + meta.length)
             sem, acc = sem[:, :, keep], acc[:, :, keep]
         reconstructed = None
-        if out["reconstructed"] is not None:
-            valid_samples = min(valid_t * self.hop_length, ext_len)
+        if out.get("reconstructed") is not None:
+            valid_samples = min(valid_t * self.hop_length, meta.ext_len)
             recon = np.asarray(out["reconstructed"])[:, :valid_samples]
-            if overlap:
-                lo = start - ext_start
-                recon = recon[:, lo:lo + length]
+            if meta.overlap:
+                lo = meta.start - meta.ext_start
+                recon = recon[:, lo:lo + meta.length]
             reconstructed = recon
         return {
             "semantic_codes": sem,
@@ -568,6 +583,20 @@ class NeuralAudioTokenizer:
             "semantic_features": np.asarray(out["semantic_features"]),
             "acoustic_features": np.asarray(out["acoustic_features"]),
         }
+
+    def tokenize_span(self, chunk: np.ndarray, ext_start: int, start: int,
+                      length: int, overlap: int, sr: int) -> Dict:
+        """Tokenize one overlap-extended span (``chunk`` = samples
+        ``[ext_start : start+length+overlap]``); returns the per-chunk dict
+        :meth:`iter_chunks` yields.  Also the building block of the
+        streaming-stdin path, which produces spans incrementally."""
+        chunk, meta = self.prepare_span(chunk, ext_start, start, length,
+                                        overlap, sr)
+        forward, _ = self._forward_for(meta.bucket, sr)
+        self._rng, rng = jax.random.split(self._rng)
+        out = forward(self.params, self.sem_rvq, self.acc_rvq,
+                      jnp.asarray(chunk), rng)
+        return self.finalize_span(out, meta)
 
     def __call__(self, waveform, actual_sample_rate: Optional[int] = None) -> Dict:
         sem_parts: List[np.ndarray] = []

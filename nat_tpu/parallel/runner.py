@@ -1,11 +1,14 @@
 """Data-parallel inference runner.
 
 Scale-out path for batch tokenization (SURVEY.md §2.9's TPU-native DP plan):
-files/chunks are grouped by bucket length, stacked into ``[B, S]`` batches,
-the batch dimension is sharded over the mesh's ``dp`` axis, and the jitted
-forward runs once per group — XLA splits the batch across chips over ICI.
-Per-file token streams are sliced back out on host.  Single-chip execution
-is the degenerate 1-device mesh (no code difference).
+every file is split into its overlap-extended chunk spans (one span for
+short files — the same spans the sequential path uses), spans from ALL
+files are grouped by (sample_rate, bucket) and stacked into ``[B, S]``
+batches, the batch dimension is sharded over the mesh's ``dp`` axis, and
+the jitted forward runs once per group — XLA splits the batch across chips
+over ICI.  Per-span frames are sliced back out on host and reassembled per
+file, mirroring ``NeuralAudioTokenizer.__call__``'s sequential chunk loop.
+Single-chip execution is the degenerate 1-device mesh (no code difference).
 """
 
 from __future__ import annotations
@@ -15,7 +18,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..runtime.bucketing import bucket_length
+from ..runtime.bucketing import chunk_spans
 from ..utils.logging import logger
 from .mesh import batch_sharding, make_mesh, replicated
 
@@ -38,10 +41,9 @@ class DataParallelRunner:
         """Tokenize a list of mono waveforms; returns per-file result dicts
         (reference shape: semantic_codes/acoustic_codes lists, num_frames).
 
-        Waveforms must fit a single chunk (``bucket_length`` max); callers
-        route longer files through the sequential chunked path.  Files are
-        grouped by (sample_rate, bucket) so each group runs one compiled
-        program.
+        Long files are chunked exactly as the sequential path chunks them
+        (``chunk_spans`` + overlap-discard), and their spans join the same
+        dp batches as whole short files — chunk-level data parallelism.
         """
         import jax
         import jax.numpy as jnp
@@ -52,22 +54,37 @@ class DataParallelRunner:
         rates = (list(sample_rates) if sample_rates is not None
                  else [tok.sample_rate] * len(waveforms))
 
-        groups: Dict[tuple, List[int]] = defaultdict(list)
+        # One work item per (file, span); short files have a single span.
+        items: List[tuple] = []   # (file_idx, span_order, row [bucket], meta)
         for idx, wave in enumerate(waveforms):
-            groups[(rates[idx],
-                    bucket_length(len(wave), rates[idx]))].append(idx)
+            wave2d = np.atleast_2d(np.asarray(wave, dtype=np.float32))
+            sr = rates[idx]
+            total = wave2d.shape[-1]
+            overlap = int(sr)
+            spans = chunk_spans(total, sr, overlap=overlap)
+            ov = overlap if len(spans) > 1 else 0
+            for order, (start, length) in enumerate(spans):
+                ext_start = max(0, start - ov)
+                ext_end = min(total, start + length + ov)
+                chunk, meta = tok.prepare_span(
+                    wave2d[:, ext_start:ext_end], ext_start, start, length,
+                    ov, sr)
+                items.append((idx, order, chunk[0], meta))
 
-        results: List[Optional[Dict]] = [None] * len(waveforms)
-        for (sr, bucket), indices in sorted(groups.items()):
-            forward, t_target = tok._forward_for(bucket, sr)
+        groups: Dict[tuple, List[int]] = defaultdict(list)
+        for j, (_, _, _, meta) in enumerate(items):
+            groups[(meta.sr, meta.bucket)].append(j)
+
+        span_results: List[Optional[Dict]] = [None] * len(items)
+        for (sr, bucket), members in sorted(groups.items()):
+            forward, _ = tok._forward_for(bucket, sr)
             # Pad the group to a multiple of dp so the shard is even.
-            padded_n = -(-len(indices) // self.dp) * self.dp
+            padded_n = -(-len(members) // self.dp) * self.dp
             batch = np.zeros((padded_n, bucket), dtype=np.float32)
-            for row, idx in enumerate(indices):
-                wave = waveforms[idx]
-                batch[row, :len(wave)] = wave[:bucket]
+            for row, j in enumerate(members):
+                batch[row] = items[j][2]
             logger.debug(
-                f"DP group: bucket={bucket} files={len(indices)} "
+                f"DP group: bucket={bucket} spans={len(members)} "
                 f"batch={padded_n} dp={self.dp}")
 
             batch_dev = jax.device_put(jnp.asarray(batch),
@@ -77,15 +94,47 @@ class DataParallelRunner:
                           batch_dev, rng)
             sem = np.asarray(out["semantic_codes"])   # [N, B, Tt]
             acc = np.asarray(out["acoustic_codes"])
-            for row, idx in enumerate(indices):
-                valid_t = tok._target_frames(len(waveforms[idx]), sr)
-                results[idx] = {
-                    "semantic_codes": [sem[l, row:row + 1, :valid_t]
-                                       for l in range(sem.shape[0])],
-                    "acoustic_codes": [acc[l, row:row + 1, :valid_t]
-                                       for l in range(acc.shape[0])],
-                    "losses": {k: float(v) for k, v in out["losses"].items()},
-                    "reconstructed": None,
-                    "num_frames": int(valid_t),
-                }
+            recon = (np.asarray(out["reconstructed"])
+                     if out.get("reconstructed") is not None else None)
+            sem_f = np.asarray(out["semantic_features"])  # [B, D, Tt]
+            acc_f = np.asarray(out["acoustic_features"])
+            losses = {k: float(v) for k, v in out["losses"].items()}
+            for row, j in enumerate(members):
+                meta = items[j][3]
+                span_results[j] = tok.finalize_span({
+                    "semantic_codes": sem[:, row:row + 1],
+                    "acoustic_codes": acc[:, row:row + 1],
+                    "reconstructed": (recon[row:row + 1]
+                                      if recon is not None else None),
+                    "losses": losses,
+                    "semantic_features": sem_f[row:row + 1],
+                    "acoustic_features": acc_f[row:row + 1],
+                }, meta)
+
+        # Reassemble per file in span order (mirrors
+        # NeuralAudioTokenizer.__call__'s concat over iter_chunks).
+        per_file: Dict[int, List[tuple]] = defaultdict(list)
+        for j, (idx, order, _, _) in enumerate(items):
+            per_file[idx].append((order, span_results[j]))
+        results: List[Optional[Dict]] = [None] * len(waveforms)
+        for idx, ordered in per_file.items():
+            parts = [p for _, p in sorted(ordered, key=lambda t: t[0])]
+            sem_codes = np.concatenate(
+                [p["semantic_codes"] for p in parts], axis=-1)
+            acc_codes = np.concatenate(
+                [p["acoustic_codes"] for p in parts], axis=-1)
+            recon_parts = [p["reconstructed"] for p in parts
+                           if p["reconstructed"] is not None]
+            results[idx] = {
+                "semantic_codes": [sem_codes[l]
+                                   for l in range(sem_codes.shape[0])],
+                "acoustic_codes": [acc_codes[l]
+                                   for l in range(acc_codes.shape[0])],
+                "losses": parts[-1]["losses"],
+                "reconstructed": (np.concatenate(recon_parts, axis=-1)
+                                  if recon_parts else None),
+                "semantic_features": parts[-1]["semantic_features"],
+                "acoustic_features": parts[-1]["acoustic_features"],
+                "num_frames": int(sem_codes.shape[-1]),
+            }
         return results  # type: ignore[return-value]

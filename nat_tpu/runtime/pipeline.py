@@ -669,16 +669,15 @@ class AudioTokenizationPipeline:
         """Load + tokenize many files, data-parallel over local devices.
 
         Returns one entry per path: ``(audio, sr, result, encoding_time)``
-        on success or the exception on failure.  Single-chunk files run
-        dp-sharded through :class:`~nat_tpu.parallel.runner
-        .DataParallelRunner` (one compiled program per (sr, bucket) group,
-        batch split across chips over ICI); long files, compat mode, and
-        stochastic mode fall back to the sequential chunked path.  Token
-        output is identical to sequential processing (argmin selection is
-        rng-free and row-independent).
+        on success or the exception on failure.  Files run dp-sharded
+        through :class:`~nat_tpu.parallel.runner.DataParallelRunner` —
+        chunk-level data parallelism: long files' overlap-discard spans
+        join the same (sr, bucket) batches as whole short files, one
+        compiled program per group, batch split across chips over ICI.
+        Compat mode and stochastic mode fall back to the sequential
+        chunked path.  Token output is identical to sequential processing
+        (argmin selection is rng-free and row-independent).
         """
-        from ..runtime.bucketing import MAX_SINGLE_CHUNK_S
-
         loaded: List[Any] = []
         for path in input_paths:
             try:
@@ -694,7 +693,6 @@ class AudioTokenizationPipeline:
                 dp_eligible = [
                     i for i, item in enumerate(loaded)
                     if not isinstance(item, Exception)
-                    and len(item[0]) <= MAX_SINGLE_CHUNK_S * item[1]
                 ]
 
         if hasattr(self.tokenizer, "maybe_seed_from_audio"):

@@ -56,6 +56,50 @@ def test_runner_group_padding(tokenizer):
     assert all(r is not None for r in results)
 
 
+def test_runner_long_file_chunks(tokenizer):
+    """Multi-chunk (long) files join the dp batches at chunk granularity
+    and reassemble to exactly the sequential chunked result."""
+    rng = np.random.default_rng(3)
+    sr = 8000
+    waves = [
+        (rng.standard_normal(int(35 * sr)) * 0.3).astype(np.float32),
+        (rng.standard_normal(9000) * 0.3).astype(np.float32),
+    ]
+    runner = DataParallelRunner(
+        tokenizer, mesh=make_mesh((4, 1), devices=jax.devices()[:4]))
+    batched = runner.tokenize_many(waves, [sr, sr])
+    for wave, result in zip(waves, batched):
+        solo = tokenizer(wave[None, :], actual_sample_rate=sr)
+        assert result["num_frames"] == solo["num_frames"]
+        for a, b in zip(result["semantic_codes"], solo["semantic_codes"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(result["acoustic_codes"], solo["acoustic_codes"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_runner_returns_reconstruction():
+    """The dp path carries the forward's fused reconstruction through
+    (it used to silently drop it)."""
+    from nat_tpu.models.tokenizer import NeuralAudioTokenizer
+
+    tok = NeuralAudioTokenizer(
+        codebook_size=64, enable_codebook_cache=False,
+        use_pretrained_semantic=False, codebook_init_method="random",
+        enable_reconstruction=True)
+    rng = np.random.default_rng(4)
+    waves = [(rng.standard_normal(7000) * 0.3).astype(np.float32)
+             for _ in range(2)]
+    runner = DataParallelRunner(
+        tok, mesh=make_mesh((4, 1), devices=jax.devices()[:4]))
+    results = runner.tokenize_many(waves)
+    for wave, result in zip(waves, results):
+        assert result["reconstructed"] is not None
+        solo = tok(wave[None, :])
+        np.testing.assert_allclose(
+            np.asarray(result["reconstructed"]),
+            np.asarray(solo["reconstructed"]), atol=1e-5)
+
+
 def test_batch_process_dp_matches_sequential(tokenizer, tmp_path):
     """CLI-level contract (VERDICT round 1, next-round #3): batch mode over
     N files on the multi-device mesh produces byte-identical NDJSON to
