@@ -318,16 +318,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "arguments / --stdin)")
         if not has_piped_stdin():
             parser.error("--stream-stdin requires audio piped on stdin")
-        # Sniff before committing: only PCM WAV streams decode
+        # Sniff before committing: WAV/AIFF/AU/FLAC streams decode
         # incrementally; anything else falls back to buffered stdin with
         # no bytes lost.
+        from .io.stream_reader import make_stream_reader
+
         head = sys.stdin.buffer.read(1 << 16)
-        if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        if make_stream_reader(head) is not None:
             pipeline.stream_stdin(_PrefixedStream(head, sys.stdin.buffer),
                                   logger.stdout)
             return 0
-        logger.warn("--stream-stdin: input is not a WAV stream; "
-                    "falling back to buffered stdin")
+        logger.warn("--stream-stdin: input is not an incrementally "
+                    "decodable stream; falling back to buffered stdin")
         stdin_bytes = head + read_stdin_bytes()
 
     if args.stdin and stdin_bytes is None:

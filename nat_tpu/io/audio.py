@@ -157,6 +157,26 @@ def decode_au(data: bytes) -> Tuple[np.ndarray, int]:
     return np.ascontiguousarray(samples, dtype=np.float32), int(sample_rate)
 
 
+def _be_pcm_to_float(raw: bytes, bits: int) -> np.ndarray:
+    """Big-endian signed PCM → float32 in [-1, 1] (AIFF payloads)."""
+    if bits == 8:
+        return np.frombuffer(raw, dtype=">i1").astype(np.float32) / 128.0
+    if bits == 16:
+        return np.frombuffer(raw, dtype=">i2").astype(np.float32) / 32768.0
+    if bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8)
+        n = len(b) // 3
+        b = b[: n * 3].reshape(n, 3)
+        val = ((b[:, 0].astype(np.int32) << 16)
+               | (b[:, 1].astype(np.int32) << 8)
+               | b[:, 2].astype(np.int32))
+        val = np.where(val & 0x800000, val - (1 << 24), val)
+        return val.astype(np.float32) / 8388608.0
+    if bits == 32:
+        return np.frombuffer(raw, dtype=">i4").astype(np.float32) / 2147483648.0
+    raise ValueError(f"Unsupported AIFF bit depth: {bits}")
+
+
 def decode_aiff(data: bytes) -> Tuple[np.ndarray, int]:
     """Parse an AIFF/AIFC byte string (big-endian PCM)."""
     if len(data) < 12 or data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
@@ -188,23 +208,7 @@ def decode_aiff(data: bytes) -> Tuple[np.ndarray, int]:
 
     if payload is None:
         raise ValueError("AIFF stream missing SSND chunk")
-    if bits == 8:
-        samples = np.frombuffer(payload, dtype=">i1").astype(np.float32) / 128.0
-    elif bits == 16:
-        samples = np.frombuffer(payload, dtype=">i2").astype(np.float32) / 32768.0
-    elif bits == 24:
-        b = np.frombuffer(payload, dtype=np.uint8)
-        n = len(b) // 3
-        b = b[: n * 3].reshape(n, 3)
-        val = ((b[:, 0].astype(np.int32) << 16)
-               | (b[:, 1].astype(np.int32) << 8)
-               | b[:, 2].astype(np.int32))
-        val = np.where(val & 0x800000, val - (1 << 24), val)
-        samples = val.astype(np.float32) / 8388608.0
-    elif bits == 32:
-        samples = np.frombuffer(payload, dtype=">i4").astype(np.float32) / 2147483648.0
-    else:
-        raise ValueError(f"Unsupported AIFF bit depth: {bits}")
+    samples = _be_pcm_to_float(payload, bits)
     if channels > 1:
         n = len(samples) // channels
         samples = samples[: n * channels].reshape(n, channels).mean(axis=1)

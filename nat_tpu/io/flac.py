@@ -229,137 +229,178 @@ def _decode_subframe(reader: "BitReader", data: bytes, block_size: int,
     return samples << wasted if wasted else samples
 
 
-def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
-    """Decode a FLAC byte string into (mono float32, sample_rate)."""
+class _StreamInfo:
+    __slots__ = ("sample_rate", "channels", "bps", "total_samples")
+
+    def __init__(self, sample_rate, channels, bps, total_samples):
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.bps = bps
+        self.total_samples = total_samples
+
+
+def parse_flac_metadata(data: bytes) -> Tuple[int, _StreamInfo]:
+    """Parse the ``fLaC`` marker + metadata blocks.
+
+    Returns ``(first_frame_byte_offset, stream_info)``; raises
+    ``ValueError("FLAC bitstream truncated")`` when the metadata section
+    is not fully present yet (streaming callers retry with more bytes).
+    """
+    if len(data) < 4:
+        raise ValueError("FLAC bitstream truncated")
     if data[:4] != b"fLaC":
         raise ValueError("Not a FLAC stream")
-
     pos = 4
-    stream_sr = None
-    stream_bps = None
-    stream_channels = None
-    total_samples = None
+    info = _StreamInfo(None, None, None, None)
     while True:
+        if pos + 4 > len(data):
+            raise ValueError("FLAC bitstream truncated")
         header = data[pos : pos + 4]
         last = bool(header[0] & 0x80)
         block_type = header[0] & 0x7F
         length = int.from_bytes(header[1:4], "big")
+        if pos + 4 + length > len(data):
+            raise ValueError("FLAC bitstream truncated")
         body = data[pos + 4 : pos + 4 + length]
         if block_type == 0:  # STREAMINFO
-            stream_sr = (int.from_bytes(body[10:13], "big") >> 4)
-            stream_channels = ((body[12] >> 1) & 0x07) + 1
-            stream_bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
-            total_samples = ((body[13] & 0x0F) << 32) | int.from_bytes(
+            info.sample_rate = (int.from_bytes(body[10:13], "big") >> 4)
+            info.channels = ((body[12] >> 1) & 0x07) + 1
+            info.bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+            info.total_samples = ((body[13] & 0x0F) << 32) | int.from_bytes(
                 body[14:18], "big")
         pos += 4 + length
         if last:
             break
+    return pos, info
 
+
+def decode_frame_at(data: bytes, pos: int, info: _StreamInfo,
+                    reader: Optional[BitReader] = None
+                    ) -> Tuple[np.ndarray, int, int]:
+    """Decode ONE frame starting at byte ``pos``.
+
+    Returns ``(mono int64-domain samples, frame_sample_rate, next_pos)``.
+    Raises ValueError on truncation (streaming callers buffer more bytes
+    and retry) or corruption (CRC / sync errors).
+    """
+    stream_sr, stream_bps = info.sample_rate, info.bps
+    # Frame sync: 14 bits 0b11111111111110
+    if pos + 2 > len(data):
+        raise ValueError("FLAC bitstream truncated")
+    sync = (data[pos] << 6) | (data[pos + 1] >> 2)
+    if sync != 0x3FFE:
+        raise ValueError(f"Lost FLAC frame sync at byte {pos}")
+    header_start = pos
+    if reader is None:
+        reader = BitReader(data)
+    reader.pos = pos * 8 + 14
+    blocking_strategy = reader.read(1)  # noqa: F841 (variable blocksize ok)
+    reader.read(1)  # reserved
+    bs_code = reader.read(4)
+    sr_code = reader.read(4)
+    ch_code = reader.read(4)
+    ss_code = reader.read(3)
+    reader.read(1)  # reserved
+    reader.read_utf8_ordinal()
+
+    if bs_code == 0:
+        raise ValueError("Reserved FLAC block size code")
+    elif bs_code == 6:
+        block_size = reader.read(8) + 1
+    elif bs_code == 7:
+        block_size = reader.read(16) + 1
+    else:
+        block_size = _BLOCK_SIZE_TABLE[bs_code]
+
+    if sr_code == 0:
+        sample_rate = stream_sr
+    elif sr_code in _SAMPLE_RATE_TABLE:
+        sample_rate = _SAMPLE_RATE_TABLE[sr_code]
+    elif sr_code == 12:
+        sample_rate = reader.read(8) * 1000
+    elif sr_code == 13:
+        sample_rate = reader.read(16)
+    elif sr_code == 14:
+        sample_rate = reader.read(16) * 10
+    else:
+        raise ValueError("Invalid FLAC sample-rate code")
+
+    bits_per_sample = (stream_bps if ss_code == 0
+                       else _SAMPLE_SIZE_TABLE[ss_code])
+
+    # CRC-8 covers the header bytes up to (not including) the crc byte
+    reader.align_byte()
+    header_end = reader.pos // 8
+    expect_crc8 = reader.read(8)
+    if _crc8(data[header_start:header_end]) != expect_crc8:
+        raise ValueError("FLAC frame header CRC-8 mismatch")
+
+    if ch_code < 8:
+        num_channels = ch_code + 1
+        assignment = "independent"
+    elif ch_code == 8:
+        num_channels, assignment = 2, "left_side"
+    elif ch_code == 9:
+        num_channels, assignment = 2, "right_side"
+    elif ch_code == 10:
+        num_channels, assignment = 2, "mid_side"
+    else:
+        raise ValueError(f"Reserved FLAC channel code {ch_code}")
+
+    subframes = []
+    for ch in range(num_channels):
+        bps = bits_per_sample
+        if assignment == "left_side" and ch == 1:
+            bps += 1
+        elif assignment == "right_side" and ch == 0:
+            bps += 1
+        elif assignment == "mid_side" and ch == 1:
+            bps += 1
+        subframes.append(_decode_subframe(reader, data, block_size, bps))
+
+    reader.align_byte()
+    frame_end = reader.pos // 8
+    expect_crc16 = reader.read(16)
+    if _crc16(data[header_start:frame_end]) != expect_crc16:
+        raise ValueError("FLAC frame CRC-16 mismatch")
+
+    if assignment == "independent":
+        chans = subframes
+    elif assignment == "left_side":
+        left = subframes[0]
+        chans = [left, left - subframes[1]]
+    elif assignment == "right_side":
+        right = subframes[1]
+        chans = [subframes[0] + right, right]
+    else:  # mid_side
+        mid, side = subframes
+        left = ((mid << 1) | (side & 1)) + side
+        right = ((mid << 1) | (side & 1)) - side
+        chans = [left >> 1, right >> 1]
+
+    mono = (np.mean(np.stack(chans, axis=1), axis=1)
+            if len(chans) > 1 else chans[0].astype(np.float64))
+    return mono, int(sample_rate or stream_sr), reader.pos // 8
+
+
+def decode_flac(data: bytes) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC byte string into (mono float32, sample_rate)."""
+    pos, info = parse_flac_metadata(data)
     frames: List[np.ndarray] = []
+    sample_rate = info.sample_rate
     shared_reader = BitReader(data)  # unpack once, reuse across frames
     while pos < len(data):
-        # Frame sync: 14 bits 0b11111111111110
         if pos + 2 > len(data):
             break
-        sync = (data[pos] << 6) | (data[pos + 1] >> 2)
-        if sync != 0x3FFE:
-            raise ValueError(f"Lost FLAC frame sync at byte {pos}")
-        header_start = pos
-        reader = shared_reader
-        reader.pos = pos * 8 + 14
-        blocking_strategy = reader.read(1)  # noqa: F841 (variable blocksize ok)
-        reader.read(1)  # reserved
-        bs_code = reader.read(4)
-        sr_code = reader.read(4)
-        ch_code = reader.read(4)
-        ss_code = reader.read(3)
-        reader.read(1)  # reserved
-        reader.read_utf8_ordinal()
-
-        if bs_code == 0:
-            raise ValueError("Reserved FLAC block size code")
-        elif bs_code == 6:
-            block_size = reader.read(8) + 1
-        elif bs_code == 7:
-            block_size = reader.read(16) + 1
-        else:
-            block_size = _BLOCK_SIZE_TABLE[bs_code]
-
-        if sr_code == 0:
-            sample_rate = stream_sr
-        elif sr_code in _SAMPLE_RATE_TABLE:
-            sample_rate = _SAMPLE_RATE_TABLE[sr_code]
-        elif sr_code == 12:
-            sample_rate = reader.read(8) * 1000
-        elif sr_code == 13:
-            sample_rate = reader.read(16)
-        elif sr_code == 14:
-            sample_rate = reader.read(16) * 10
-        else:
-            raise ValueError("Invalid FLAC sample-rate code")
-
-        bits_per_sample = (stream_bps if ss_code == 0
-                           else _SAMPLE_SIZE_TABLE[ss_code])
-
-        # CRC-8 covers the header bytes up to (not including) the crc byte
-        reader.align_byte()
-        header_end = reader.pos // 8
-        expect_crc8 = reader.read(8)
-        if _crc8(data[header_start:header_end]) != expect_crc8:
-            raise ValueError("FLAC frame header CRC-8 mismatch")
-
-        if ch_code < 8:
-            num_channels = ch_code + 1
-            assignment = "independent"
-        elif ch_code == 8:
-            num_channels, assignment = 2, "left_side"
-        elif ch_code == 9:
-            num_channels, assignment = 2, "right_side"
-        elif ch_code == 10:
-            num_channels, assignment = 2, "mid_side"
-        else:
-            raise ValueError(f"Reserved FLAC channel code {ch_code}")
-
-        subframes = []
-        for ch in range(num_channels):
-            bps = bits_per_sample
-            if assignment == "left_side" and ch == 1:
-                bps += 1
-            elif assignment == "right_side" and ch == 0:
-                bps += 1
-            elif assignment == "mid_side" and ch == 1:
-                bps += 1
-            subframes.append(_decode_subframe(reader, data, block_size, bps))
-
-        reader.align_byte()
-        frame_end = reader.pos // 8
-        expect_crc16 = reader.read(16)
-        if _crc16(data[header_start:frame_end]) != expect_crc16:
-            raise ValueError("FLAC frame CRC-16 mismatch")
-        pos = reader.pos // 8
-
-        if assignment == "independent":
-            chans = subframes
-        elif assignment == "left_side":
-            left = subframes[0]
-            chans = [left, left - subframes[1]]
-        elif assignment == "right_side":
-            right = subframes[1]
-            chans = [subframes[0] + right, right]
-        else:  # mid_side
-            mid, side = subframes
-            left = ((mid << 1) | (side & 1)) + side
-            right = ((mid << 1) | (side & 1)) - side
-            chans = [left >> 1, right >> 1]
-
-        frames.append(np.mean(np.stack(chans, axis=1), axis=1)
-                      if len(chans) > 1 else chans[0].astype(np.float64))
+        mono, sample_rate, pos = decode_frame_at(data, pos, info,
+                                                 shared_reader)
+        frames.append(mono)
 
     audio = np.concatenate(frames) if frames else np.zeros(0)
-    if total_samples:
-        audio = audio[:total_samples]
-    scale = float(1 << (stream_bps - 1))
-    return (audio / scale).astype(np.float32), int(sample_rate or stream_sr)
+    if info.total_samples:
+        audio = audio[:info.total_samples]
+    scale = float(1 << (info.bps - 1))
+    return (audio / scale).astype(np.float32), int(sample_rate)
 
 
 # ---------------------------------------------------------------------------

@@ -1,11 +1,12 @@
 """Incremental audio reading from a byte stream (stdin streaming mode).
 
 The reference reads piped stdin to EOF before any processing
-(neural_audio_tokenizer.py:5216-5222); this module parses a RIFF/WAVE
-stream *as bytes arrive* so tokenization can start while audio is still
-being piped in (``--stream-stdin``).  Only PCM-family WAV streams (the
-formats whose payload is decodable block-by-block) stream; anything else
-falls back to the buffered path.
+(neural_audio_tokenizer.py:5216-5222); this module parses audio container
+streams *as bytes arrive* so tokenization can start while audio is still
+being piped in (``--stream-stdin``).  Incrementally decodable formats:
+PCM-family WAV, AIFF/AIFC, Sun AU (block-decodable payloads) and FLAC
+(frame-by-frame first-party decode).  Anything else falls back to the
+buffered path.
 
 Semantics differences vs the buffered path (documented in the man page):
 * no global peak normalization (the peak isn't known until EOF);
@@ -17,11 +18,11 @@ from __future__ import annotations
 
 import hashlib
 import struct
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from .audio import _pcm_to_float
+from .audio import _MULAW, _be_pcm_to_float, _pcm_to_float
 
 
 class StreamingWavReader:
@@ -118,24 +119,303 @@ class StreamingWavReader:
         return np.ascontiguousarray(samples, dtype=np.float32)
 
 
+class StreamingAuReader:
+    """Parse a Sun AU byte stream incrementally (PCM/μ-law payloads)."""
+
+    _BYTES_PER = {1: 1, 2: 1, 3: 2, 5: 4, 6: 4, 7: 8}
+
+    def __init__(self) -> None:
+        self.sample_rate: Optional[int] = None
+        self.channels: int = 1
+        self.encoding: int = 3
+        self._offset: Optional[int] = None
+        self._buf = bytearray()
+        self._in_data = False
+        self._sha = hashlib.sha256()
+        self._failed = False
+
+    @property
+    def ready(self) -> bool:
+        return self._in_data
+
+    @property
+    def failed(self) -> bool:
+        return self._failed
+
+    def digest(self) -> str:
+        return self._sha.hexdigest()
+
+    def feed(self, data: bytes) -> None:
+        self._sha.update(data)
+        self._buf.extend(data)
+        if self._in_data:
+            return
+        if self._offset is None:
+            if len(self._buf) < 24:
+                return
+            if bytes(self._buf[:4]) != b".snd":
+                self._failed = True
+                return
+            (self._offset, _size, self.encoding, self.sample_rate,
+             self.channels) = struct.unpack_from(">IIIII", self._buf, 4)
+            if self.encoding not in self._BYTES_PER:
+                self._failed = True
+                return
+        if len(self._buf) >= self._offset:
+            del self._buf[: self._offset]
+            self._in_data = True
+
+    def take_samples(self) -> Optional[np.ndarray]:
+        if not self.ready or self._failed:
+            return None
+        frame_bytes = self._BYTES_PER[self.encoding] * self.channels
+        usable = len(self._buf) - (len(self._buf) % frame_bytes)
+        if usable <= 0:
+            return None
+        raw = bytes(self._buf[:usable])
+        del self._buf[:usable]
+        if self.encoding == 1:
+            samples = _MULAW[np.frombuffer(raw, dtype=np.uint8)]
+        elif self.encoding == 2:
+            samples = np.frombuffer(raw, dtype=">i1").astype(np.float32) / 128.0
+        elif self.encoding == 3:
+            samples = np.frombuffer(raw, dtype=">i2").astype(np.float32) / 32768.0
+        elif self.encoding == 5:
+            samples = np.frombuffer(raw, dtype=">i4").astype(
+                np.float32) / 2147483648.0
+        elif self.encoding == 6:
+            samples = np.frombuffer(raw, dtype=">f4").astype(np.float32)
+        else:  # 7
+            samples = np.frombuffer(raw, dtype=">f8").astype(np.float32)
+        if self.channels > 1:
+            n = len(samples) // self.channels
+            samples = samples[: n * self.channels].reshape(
+                n, self.channels).mean(axis=1)
+        return np.ascontiguousarray(samples, dtype=np.float32)
+
+
+class StreamingAiffReader:
+    """Parse an AIFF/AIFC byte stream incrementally (big-endian PCM)."""
+
+    def __init__(self) -> None:
+        self.sample_rate: Optional[int] = None
+        self.channels: int = 1
+        self.bits: int = 16
+        self._buf = bytearray()
+        self._header_parsed = False
+        self._in_data = False
+        self._data_remaining: Optional[int] = None
+        self._sha = hashlib.sha256()
+        self._failed = False
+
+    @property
+    def ready(self) -> bool:
+        return self._in_data and self.sample_rate is not None
+
+    @property
+    def failed(self) -> bool:
+        return self._failed
+
+    def digest(self) -> str:
+        return self._sha.hexdigest()
+
+    def feed(self, data: bytes) -> None:
+        self._sha.update(data)
+        self._buf.extend(data)
+        if not self._in_data:
+            self._parse_chunks()
+
+    def _parse_chunks(self) -> None:
+        buf = self._buf
+        if not self._header_parsed:
+            if len(buf) < 12:
+                return
+            if (bytes(buf[:4]) != b"FORM"
+                    or bytes(buf[8:12]) not in (b"AIFF", b"AIFC")):
+                self._failed = True
+                return
+            del buf[:12]
+            self._header_parsed = True
+        while len(buf) >= 8:
+            chunk_id = bytes(buf[:4])
+            (chunk_size,) = struct.unpack_from(">I", buf, 4)
+            if chunk_id == b"SSND":
+                # SSND body: 4B offset + 4B blocksize, then `offset` pad
+                # bytes, then PCM.  Wait for the sub-header + pad.
+                if len(buf) < 16:
+                    return
+                (offset,) = struct.unpack_from(">I", buf, 8)
+                if len(buf) < 16 + offset:
+                    return
+                del buf[: 16 + offset]
+                self._in_data = True
+                self._data_remaining = max(chunk_size - 8 - offset, 0)
+                return
+            body_end = 8 + chunk_size + (chunk_size & 1)
+            if len(buf) < body_end:
+                return
+            if chunk_id == b"COMM" and chunk_size >= 18:
+                self.channels, _frames, self.bits = struct.unpack_from(
+                    ">HIH", buf, 8)
+                exp = struct.unpack_from(">H", buf, 16)[0]
+                mant_hi, mant_lo = struct.unpack_from(">II", buf, 18)
+                mantissa = (mant_hi << 32) | mant_lo
+                if exp != 0 or mantissa != 0:
+                    sign = -1.0 if exp & 0x8000 else 1.0
+                    e = (exp & 0x7FFF) - 16383
+                    self.sample_rate = int(round(
+                        sign * mantissa * 2.0 ** (e - 63)))
+                if self.bits not in (8, 16, 24, 32):
+                    self._failed = True
+                    return
+            del buf[:body_end]
+
+    def take_samples(self) -> Optional[np.ndarray]:
+        if not self.ready or self._failed:
+            return None
+        frame_bytes = (self.bits // 8) * self.channels
+        avail = len(self._buf)
+        if self._data_remaining is not None:
+            avail = min(avail, self._data_remaining)
+        usable = avail - (avail % frame_bytes)
+        if usable <= 0:
+            return None
+        raw = bytes(self._buf[:usable])
+        del self._buf[:usable]
+        if self._data_remaining is not None:
+            self._data_remaining -= usable
+        samples = _be_pcm_to_float(raw, self.bits)
+        if self.channels > 1:
+            n = len(samples) // self.channels
+            samples = samples[: n * self.channels].reshape(
+                n, self.channels).mean(axis=1)
+        return np.ascontiguousarray(samples, dtype=np.float32)
+
+
+class StreamingFlacReader:
+    """Decode a FLAC byte stream incrementally, frame by frame.
+
+    Buffers bytes until a complete frame is available, decodes it with the
+    first-party decoder (:mod:`nat_tpu.io.flac`), and consumes it from the
+    buffer.  A decode error mid-stream is indistinguishable from a frame
+    that hasn't fully arrived, so errors only surface at EOF
+    (:meth:`finish`).
+    """
+
+    def __init__(self) -> None:
+        self.sample_rate: Optional[int] = None
+        self._buf = bytearray()
+        self._info = None
+        self._meta_done = False
+        self._sha = hashlib.sha256()
+        self._failed = False
+        self._pending: List[np.ndarray] = []
+        self._decoded_total = 0
+
+    @property
+    def ready(self) -> bool:
+        return self._meta_done
+
+    @property
+    def failed(self) -> bool:
+        return self._failed
+
+    def digest(self) -> str:
+        return self._sha.hexdigest()
+
+    def feed(self, data: bytes) -> None:
+        from .flac import parse_flac_metadata
+
+        self._sha.update(data)
+        self._buf.extend(data)
+        if self._failed:
+            return
+        if not self._meta_done:
+            if len(self._buf) >= 4 and bytes(self._buf[:4]) != b"fLaC":
+                self._failed = True
+                return
+            try:
+                pos, info = parse_flac_metadata(bytes(self._buf))
+            except ValueError as exc:
+                if "truncated" not in str(exc):
+                    self._failed = True
+                return
+            self._info = info
+            self.sample_rate = int(info.sample_rate)
+            del self._buf[:pos]
+            self._meta_done = True
+        self._decode_frames()
+
+    def _decode_frames(self) -> None:
+        from .flac import decode_frame_at
+
+        scale = float(1 << (self._info.bps - 1))
+        while self._buf:
+            data = bytes(self._buf)
+            try:
+                mono, _sr, next_pos = decode_frame_at(data, 0, self._info)
+            except ValueError:
+                return  # incomplete (or bad — resolved at finish())
+            del self._buf[:next_pos]
+            block = (mono / scale).astype(np.float32)
+            if self._info.total_samples:
+                remain = self._info.total_samples - self._decoded_total
+                block = block[:max(remain, 0)]
+            self._decoded_total += len(block)
+            if len(block):
+                self._pending.append(block)
+
+    def take_samples(self) -> Optional[np.ndarray]:
+        if not self._pending:
+            return None
+        blocks, self._pending = self._pending, []
+        return np.concatenate(blocks) if len(blocks) > 1 else blocks[0]
+
+    def finish(self) -> None:
+        """EOF: any undecoded remainder means the stream was corrupt."""
+        if self._buf and self._meta_done and not self._failed:
+            from .flac import decode_frame_at
+
+            try:
+                decode_frame_at(bytes(self._buf), 0, self._info)
+            except ValueError as exc:
+                raise ValueError(
+                    f"FLAC stream ended with undecodable bytes: {exc}")
+
+
+def make_stream_reader(head: bytes):
+    """Pick the incremental reader for a byte-stream prefix, or None."""
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return StreamingWavReader()
+    if head[:4] == b"fLaC":
+        return StreamingFlacReader()
+    if head[:4] == b".snd":
+        return StreamingAuReader()
+    if head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
+        return StreamingAiffReader()
+    return None
+
+
 def iter_stream_samples(stream, block_bytes: int = 1 << 16
                         ) -> Iterator[Tuple[str, object]]:
-    """Drive a :class:`StreamingWavReader` over a binary file object.
+    """Drive an incremental reader over a binary file object.
 
     Yields ``("rate", sample_rate)`` once, then ``("samples", ndarray)``
     blocks, then ``("sha256", digest)`` at EOF.  Raises ValueError if the
-    stream is not an incrementally decodable WAV.
+    stream is not incrementally decodable (unknown container, or decode
+    failure).
     """
-    reader = StreamingWavReader()
+    head = stream.read(block_bytes)
+    reader = make_stream_reader(head)
+    if reader is None:
+        raise ValueError("stream is not an incrementally decodable format")
     announced = False
+    data = head
     while True:
-        data = stream.read(block_bytes)
-        if reader.failed:
-            raise ValueError("stream is not an incrementally decodable WAV")
         if data:
             reader.feed(data)
         if reader.failed:
-            raise ValueError("stream is not an incrementally decodable WAV")
+            raise ValueError("stream is not incrementally decodable")
         if reader.ready and not announced:
             yield "rate", int(reader.sample_rate)
             announced = True
@@ -144,6 +424,9 @@ def iter_stream_samples(stream, block_bytes: int = 1 << 16
             yield "samples", block
         if not data:
             break
+        data = stream.read(block_bytes)
+    if hasattr(reader, "finish"):
+        reader.finish()
     if not announced:
-        raise ValueError("stream ended before a WAV header was parsed")
+        raise ValueError("stream ended before an audio header was parsed")
     yield "sha256", reader.digest()

@@ -544,8 +544,10 @@ class AudioTokenizationPipeline:
 
     # ------------------------------------------------------------------
     def stream_stdin(self, stream, write) -> Dict[str, Any]:
-        """Tokenize a WAV byte stream AS IT ARRIVES (``--stream-stdin``):
+        """Tokenize an audio byte stream AS IT ARRIVES (``--stream-stdin``):
         frames are emitted while later audio is still being piped in.
+        WAV/AIFF/AU payloads decode block-by-block; FLAC decodes frame-by-
+        frame through the first-party decoder (see io/stream_reader.py).
 
         Span scheduling is identical to the buffered chunked path
         (bucketing.chunk_spans), so tokens match buffered tokenization of

@@ -73,6 +73,90 @@ class TestStreamingWavReader:
         np.testing.assert_allclose(streamed, expected, atol=1e-7)
 
 
+def _aiff_bytes(sig: np.ndarray, sr: int) -> bytes:
+    import math
+    import struct
+
+    pcm = (np.clip(sig, -1, 1) * 32767).astype(">i2").tobytes()
+    m, e = math.frexp(sr)
+    mantissa = int(m * (1 << 64))
+    exp = e - 1 + 16383
+    comm = struct.pack(">HIH", 1, len(sig), 16) + struct.pack(
+        ">H", exp) + struct.pack(">II", (mantissa >> 32) & 0xFFFFFFFF,
+                                 mantissa & 0xFFFFFFFF)
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = (b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    return b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFF" + body
+
+
+def _au_bytes(sig: np.ndarray, sr: int) -> bytes:
+    import struct
+
+    pcm = (np.clip(sig, -1, 1) * 32767).astype(">i2").tobytes()
+    return struct.pack(">4sIIIII", b".snd", 28, len(pcm), 3, sr, 1
+                       ) + b"\x00" * 4 + pcm
+
+
+class TestStreamingContainerReaders:
+    """FLAC/AIFF/AU streams decode incrementally to the buffered result."""
+
+    @pytest.mark.parametrize("block", [13, 512, 1 << 16])
+    def test_flac_matches_buffered(self, block):
+        from nat_tpu.io.flac import decode_flac, encode_flac
+
+        rng = np.random.default_rng(5)
+        sig = (0.4 * np.sin(np.linspace(0, 300, 20000))
+               + 0.05 * rng.standard_normal(20000)).astype(np.float32)
+        data = encode_flac(sig, 8000)
+        expected, sr = decode_flac(data)
+
+        events = list(iter_stream_samples(io.BytesIO(data),
+                                          block_bytes=block))
+        assert events[0] == ("rate", 8000)
+        streamed = np.concatenate([p for k, p in events if k == "samples"])
+        np.testing.assert_array_equal(streamed, expected)
+        import hashlib
+
+        assert events[-1] == ("sha256", hashlib.sha256(data).hexdigest())
+
+    def test_flac_corrupt_stream_raises_at_eof(self):
+        from nat_tpu.io.flac import encode_flac
+
+        sig = (0.3 * np.sin(np.linspace(0, 60, 8000))).astype(np.float32)
+        data = bytearray(encode_flac(sig, 8000))
+        data[len(data) // 2] ^= 0xFF  # corrupt a payload byte
+        with pytest.raises(ValueError):
+            list(iter_stream_samples(io.BytesIO(bytes(data)),
+                                     block_bytes=256))
+
+    @pytest.mark.parametrize("block", [31, 4096])
+    def test_aiff_matches_buffered(self, block):
+        from nat_tpu.io.audio import decode_aiff
+
+        sig = (0.5 * np.sin(np.linspace(0, 120, 9000))).astype(np.float32)
+        data = _aiff_bytes(sig, 22050)
+        expected, sr = decode_aiff(data)
+        events = list(iter_stream_samples(io.BytesIO(data),
+                                          block_bytes=block))
+        assert events[0] == ("rate", 22050)
+        streamed = np.concatenate([p for k, p in events if k == "samples"])
+        np.testing.assert_array_equal(streamed, expected)
+
+    @pytest.mark.parametrize("block", [17, 4096])
+    def test_au_matches_buffered(self, block):
+        from nat_tpu.io.audio import decode_au
+
+        sig = (0.5 * np.cos(np.linspace(0, 90, 7000))).astype(np.float32)
+        data = _au_bytes(sig, 16000)
+        expected, sr = decode_au(data)
+        events = list(iter_stream_samples(io.BytesIO(data),
+                                          block_bytes=block))
+        assert events[0] == ("rate", 16000)
+        streamed = np.concatenate([p for k, p in events if k == "samples"])
+        np.testing.assert_array_equal(streamed, expected)
+
+
 class _TrackedStream:
     """BytesIO wrapper recording how much was unread at each observation."""
 
