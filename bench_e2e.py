@@ -37,7 +37,7 @@ def main() -> None:
 
     sr = 22050
     seconds = 30.0
-    n_files = 8
+    n_files = 32  # one full MAX_ROWS batch for the dp/batched runner
 
     # Honest FLOPs: force the full wav2vec2-architecture semantic encoder
     # (random-init without a checkpoint), like bench.py.
@@ -72,9 +72,12 @@ def main() -> None:
         stream_rtf = seconds / stream_elapsed
 
         # Path 2: batch tokenization (dp-sharded when >1 device; on one
-        # chip this measures batched-dispatch amortization).
+        # chip a stacked [B, bucket] forward per group).  Warm up the
+        # batched shape first — the steady-state number is the metric,
+        # not the one-time XLA compile.
+        pipe._tokenize_many(paths, want_features=False)
         start = time.perf_counter()
-        prepared = pipe._tokenize_many(paths)
+        prepared = pipe._tokenize_many(paths, want_features=False)
         errors = [p for p in prepared if isinstance(p, Exception)]
         batch_elapsed = time.perf_counter() - start
         batch_rtf = (n_files * seconds) / batch_elapsed

@@ -446,7 +446,8 @@ def _execute(args, parser, pipeline, input_files: List[str],
     # >1 device; see pipeline._tokenize_many), then serialize in order.
     if multi_input:
         prepared = (None if incremental
-                    else pipeline._tokenize_many(input_files))
+                    else pipeline._tokenize_many(input_files,
+                                                 want_features=False))
         for file_idx, path in enumerate(input_files):
             if incremental:
                 # No StreamLock here: stdout purity is guaranteed by the

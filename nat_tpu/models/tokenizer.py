@@ -575,13 +575,17 @@ class NeuralAudioTokenizer:
                 lo = meta.start - meta.ext_start
                 recon = recon[:, lo:lo + meta.length]
             reconstructed = recon
+        def _feat(key):
+            f = out.get(key)
+            return None if f is None else np.asarray(f)
+
         return {
             "semantic_codes": sem,
             "acoustic_codes": acc,
             "reconstructed": reconstructed,
             "losses": {k: float(v) for k, v in out["losses"].items()},
-            "semantic_features": np.asarray(out["semantic_features"]),
-            "acoustic_features": np.asarray(out["acoustic_features"]),
+            "semantic_features": _feat("semantic_features"),
+            "acoustic_features": _feat("acoustic_features"),
         }
 
     def tokenize_span(self, chunk: np.ndarray, ext_start: int, start: int,

@@ -24,7 +24,18 @@ from .mesh import batch_sharding, make_mesh, replicated
 
 
 class DataParallelRunner:
-    """Runs an initialized tokenizer over many waveforms, dp-sharded."""
+    """Runs an initialized tokenizer over many waveforms, dp-sharded.
+
+    On a single device this is still the right execution shape: spans are
+    stacked into one ``[B, S]`` forward, amortizing the fixed per-dispatch
+    host overhead and feeding the MXU a full batch (the difference between
+    ~90 ms/file dispatch-bound and throughput-bound execution).
+    """
+
+    # Rows per forward call: bounds activation memory AND the number of
+    # distinct batch shapes XLA compiles (rows are padded to powers of two
+    # up to this cap).
+    MAX_ROWS = 32
 
     def __init__(self, tokenizer, mesh=None) -> None:
         import jax
@@ -34,9 +45,19 @@ class DataParallelRunner:
             (len(jax.devices()), 1))
         self.dp = self.mesh.shape["dp"]
 
+    def _padded_rows(self, n: int) -> int:
+        """Smallest power-of-two ≥ n that is a multiple of dp, ≤ cap."""
+        rows = 1
+        while rows < n:
+            rows *= 2
+        rows = -(-rows // self.dp) * self.dp
+        cap = -(-self.MAX_ROWS // self.dp) * self.dp
+        return min(rows, max(cap, self.dp))
+
     def tokenize_many(
         self, waveforms: Sequence[np.ndarray],
         sample_rates: Optional[Sequence[int]] = None,
+        want_features: bool = True,
     ) -> List[Dict]:
         """Tokenize a list of mono waveforms; returns per-file result dicts
         (reference shape: semantic_codes/acoustic_codes lists, num_frames).
@@ -44,9 +65,10 @@ class DataParallelRunner:
         Long files are chunked exactly as the sequential path chunks them
         (``chunk_spans`` + overlap-discard), and their spans join the same
         dp batches as whole short files — chunk-level data parallelism.
+        ``want_features=False`` skips the device→host fetch of the
+        [B, D, T] feature maps (only visualization consumers need them).
         """
         import jax
-        import jax.numpy as jnp
 
         tok = self.tokenizer
         tok.ensure_initialized()
@@ -75,29 +97,44 @@ class DataParallelRunner:
         for j, (_, _, _, meta) in enumerate(items):
             groups[(meta.sr, meta.bucket)].append(j)
 
-        span_results: List[Optional[Dict]] = [None] * len(items)
+        # Dispatch every group's forward before fetching any result: JAX
+        # dispatch is async, so later groups' compile/transfer/compute
+        # overlaps earlier groups' device time instead of serializing with
+        # the host fetches (the same pipelining bench.py uses to hide the
+        # fixed per-call tunnel overhead).
+        dispatched: List[tuple] = []
         for (sr, bucket), members in sorted(groups.items()):
             forward, _ = tok._forward_for(bucket, sr)
-            # Pad the group to a multiple of dp so the shard is even.
-            padded_n = -(-len(members) // self.dp) * self.dp
-            batch = np.zeros((padded_n, bucket), dtype=np.float32)
-            for row, j in enumerate(members):
-                batch[row] = items[j][2]
-            logger.debug(
-                f"DP group: bucket={bucket} spans={len(members)} "
-                f"batch={padded_n} dp={self.dp}")
+            # Sub-batch large groups; pad rows to a power of two (multiple
+            # of dp) so the shard is even and batch shapes stay bounded.
+            for lo in range(0, len(members), self.MAX_ROWS):
+                sub = members[lo : lo + self.MAX_ROWS]
+                padded_n = self._padded_rows(len(sub))
+                batch = np.zeros((padded_n, bucket), dtype=np.float32)
+                for row, j in enumerate(sub):
+                    batch[row] = items[j][2]
+                logger.debug(
+                    f"DP group: bucket={bucket} spans={len(sub)} "
+                    f"batch={padded_n} dp={self.dp}")
 
-            batch_dev = jax.device_put(jnp.asarray(batch),
-                                       batch_sharding(self.mesh))
-            rng = jax.device_put(jax.random.PRNGKey(0), replicated(self.mesh))
-            out = forward(tok.params, tok.sem_rvq, tok.acc_rvq,
-                          batch_dev, rng)
+                # numpy → sharded device buffer in ONE transfer (an
+                # intermediate jnp.asarray would upload to the default
+                # device first, doubling host→device traffic).
+                batch_dev = jax.device_put(batch, batch_sharding(self.mesh))
+                rng = jax.device_put(jax.random.PRNGKey(0),
+                                     replicated(self.mesh))
+                dispatched.append((sub, forward(
+                    tok.params, tok.sem_rvq, tok.acc_rvq, batch_dev, rng)))
+
+        span_results: List[Optional[Dict]] = [None] * len(items)
+        for members, out in dispatched:
             sem = np.asarray(out["semantic_codes"])   # [N, B, Tt]
             acc = np.asarray(out["acoustic_codes"])
             recon = (np.asarray(out["reconstructed"])
                      if out.get("reconstructed") is not None else None)
-            sem_f = np.asarray(out["semantic_features"])  # [B, D, Tt]
-            acc_f = np.asarray(out["acoustic_features"])
+            if want_features:
+                sem_f = np.asarray(out["semantic_features"])  # [B, D, Tt]
+                acc_f = np.asarray(out["acoustic_features"])
             losses = {k: float(v) for k, v in out["losses"].items()}
             for row, j in enumerate(members):
                 meta = items[j][3]
@@ -107,8 +144,10 @@ class DataParallelRunner:
                     "reconstructed": (recon[row:row + 1]
                                       if recon is not None else None),
                     "losses": losses,
-                    "semantic_features": sem_f[row:row + 1],
-                    "acoustic_features": acc_f[row:row + 1],
+                    "semantic_features": (sem_f[row:row + 1]
+                                          if want_features else None),
+                    "acoustic_features": (acc_f[row:row + 1]
+                                          if want_features else None),
                 }, meta)
 
         # Reassemble per file in span order (mirrors

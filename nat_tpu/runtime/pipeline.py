@@ -667,7 +667,8 @@ class AudioTokenizationPipeline:
                 "budget_metrics": budget_metrics}
 
     # ------------------------------------------------------------------
-    def _tokenize_many(self, input_paths: List[str]) -> List[Any]:
+    def _tokenize_many(self, input_paths: List[str],
+                       want_features: bool = True) -> List[Any]:
         """Load + tokenize many files, data-parallel over local devices.
 
         Returns one entry per path: ``(audio, sr, result, encoding_time)``
@@ -679,6 +680,9 @@ class AudioTokenizationPipeline:
         Compat mode and stochastic mode fall back to the sequential
         chunked path.  Token output is identical to sequential processing
         (argmin selection is rng-free and row-independent).
+        ``want_features=False`` skips fetching the [B, D, T] feature maps
+        (token serialization and metrics never read them; only the
+        visualization artifacts do).
         """
         loaded: List[Any] = []
         for path in input_paths:
@@ -687,15 +691,16 @@ class AudioTokenizationPipeline:
             except Exception as exc:
                 loaded.append(exc)
 
+        # Batched execution is right even on ONE device (stacked spans
+        # amortize dispatch overhead and fill the MXU); stochastic mode
+        # stays sequential so its per-chunk rng stream matches the
+        # single-file path, and compat mode has no device forward at all.
         dp_eligible: List[int] = []
         if not self.compat_mode and not self.stochastic:
-            import jax
-
-            if len(jax.devices()) > 1:
-                dp_eligible = [
-                    i for i, item in enumerate(loaded)
-                    if not isinstance(item, Exception)
-                ]
+            dp_eligible = [
+                i for i, item in enumerate(loaded)
+                if not isinstance(item, Exception)
+            ]
 
         if hasattr(self.tokenizer, "maybe_seed_from_audio"):
             for item in loaded:
@@ -714,7 +719,8 @@ class AudioTokenizationPipeline:
                         f"{runner.dp} device(s)")
             group_start = time.time()
             try:
-                dp_results = runner.tokenize_many(waves, rates)
+                dp_results = runner.tokenize_many(
+                    waves, rates, want_features=want_features)
                 per_file_time = (time.time() - group_start) / len(waves)
                 for i, res in zip(dp_eligible, dp_results):
                     # reference result shape: lists of [B, T] per layer
