@@ -26,6 +26,19 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Optimization steps (default: 100)")
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--learning-rate", type=float, default=1e-4)
+    parser.add_argument("--lr-schedule", default="constant",
+                        choices=["constant", "cosine"],
+                        help="Learning-rate schedule over --steps "
+                             "(cosine = linear warmup then cosine decay)")
+    parser.add_argument("--warmup-steps", type=int, default=0,
+                        help="Linear warmup steps for --lr-schedule cosine")
+    parser.add_argument("--grad-clip", type=float, default=0.0,
+                        help="Global-norm gradient clipping (0 = off)")
+    parser.add_argument("--weight-decay", type=float, default=1e-4,
+                        help="AdamW decoupled weight decay")
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="Gradient-accumulation steps (effective batch "
+                             "= batch-size x this)")
     parser.add_argument("--sample-rate", type=int, default=22050)
     parser.add_argument("--codebook-size", type=int, default=4096)
     parser.add_argument("--num-quantizers", type=int, default=8)
@@ -41,6 +54,34 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--log-level", default="INFO",
                         choices=["DEBUG", "INFO", "WARN", "ERROR"])
     return parser
+
+
+def build_optimizer(learning_rate: float, num_steps: int,
+                    schedule: str = "constant", warmup_steps: int = 0,
+                    grad_clip: float = 0.0, weight_decay: float = 1e-4,
+                    grad_accum: int = 1):
+    """Compose the optax transformation chain from CLI-level knobs.
+
+    The Trainer takes any optax GradientTransformation, so every knob is
+    a pure composition: schedule → AdamW, prefixed by global-norm
+    clipping, wrapped in MultiSteps for gradient accumulation.
+    """
+    import optax
+
+    if schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=learning_rate,
+            warmup_steps=max(warmup_steps, 1),
+            decay_steps=max(num_steps, warmup_steps + 1),
+            end_value=learning_rate * 0.01)
+    else:
+        lr = learning_rate
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    if grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -78,7 +119,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         dp, tp = (int(x) for x in args.mesh.split(","))
         mesh = make_mesh((dp, tp))
     trainer = Trainer(
-        tokenizer, optimizer=optax.adamw(args.learning_rate), mesh=mesh,
+        tokenizer,
+        optimizer=build_optimizer(
+            args.learning_rate, args.steps, schedule=args.lr_schedule,
+            warmup_steps=args.warmup_steps, grad_clip=args.grad_clip,
+            weight_decay=args.weight_decay, grad_accum=args.grad_accum),
+        mesh=mesh,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every, seed=args.seed)
     if args.resume:

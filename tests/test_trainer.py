@@ -43,6 +43,19 @@ def test_fit_runs_and_tracks_metrics(tokenizer, corpus, tmp_path):
     assert (tmp_path / "train_state_00000003.msgpack").exists()
 
 
+def test_composed_optimizer(tokenizer, corpus):
+    """CLI-level optimizer knobs (cosine schedule, clipping, gradient
+    accumulation) compose into a working train step."""
+    from nat_tpu.train_cli import build_optimizer
+
+    opt = build_optimizer(1e-3, num_steps=4, schedule="cosine",
+                          warmup_steps=1, grad_clip=1.0, grad_accum=2)
+    trainer = Trainer(tokenizer, optimizer=opt)
+    history = trainer.fit(corpus, num_steps=4, batch_size=2)
+    assert len(history) == 4
+    assert all(np.isfinite(h["loss"]) for h in history)
+
+
 def test_checkpoint_roundtrip(tokenizer, corpus, tmp_path):
     import optax
 
