@@ -59,6 +59,11 @@ Examples:
                              "global peak normalization, header "
                              "audio_sha256 is null — raw digest lands in "
                              "end.stats)")
+    parser.add_argument("--decode-tokens", action="store_true",
+                        help="Inverse mode: treat inputs as lam_audio_tokens "
+                             "NDJSON streams and decode them back to audio "
+                             "(RVQ decode + reconstruction decoder); writes "
+                             "WAV to --output or <stem>_decoded.wav")
     parser.add_argument("--output", "-o", help="Output file (default: stdout)")
     parser.add_argument("--output-dir", help="Output directory for all outputs mode")
     parser.add_argument("--all-outputs", action="store_true",
@@ -213,6 +218,79 @@ def parse_encoding_spec(spec: Optional[str], num_quantizers: int) -> Optional[Di
     return per_layer or None
 
 
+def run_decode_tokens(args, pipeline, parser) -> int:
+    """``--decode-tokens``: lam_audio_tokens NDJSON stream(s) → WAV.
+
+    The inverse of the default mode — parses the stream with
+    :func:`nat_tpu.stream.reader.parse_ndjson_stream`, decodes through the
+    model's RVQ codebooks + reconstruction decoder (``decode_tokens``),
+    applies the same DC-removal + tanh soft-limit post-processing the
+    forward reconstruction gets, and writes one WAV per input stream.
+    """
+    import numpy as np
+
+    from .io import audio as audio_io
+    from .stream.reader import parse_ndjson_stream
+
+    if args.no_reconstruction:
+        parser.error("--decode-tokens requires the reconstruction decoder "
+                     "(drop --no-reconstruction)")
+    if pipeline.compat_mode:
+        parser.error("--decode-tokens is unavailable in compat mode "
+                     "(no decoder exists)")
+
+    sources: List[tuple] = []  # (label, text, default_out)
+    if args.input_files:
+        for path in args.input_files:
+            stem = Path(path).stem
+            with open(path) as f:
+                sources.append((path, f.read(), f"{stem}_decoded.wav"))
+    elif has_piped_stdin():
+        if not args.output:
+            parser.error("--decode-tokens from stdin requires --output")
+        sources.append(("<stdin>", sys.stdin.read(), None))
+    else:
+        parser.error("--decode-tokens needs NDJSON input files or a "
+                     "piped stream")
+    if args.output and len(sources) > 1:
+        parser.error("--output with a single file only; omit it to get "
+                     "per-input <stem>_decoded.wav files")
+
+    tok = pipeline.tokenizer
+    tok.ensure_initialized()
+    for label, text, default_out in sources:
+        ts = parse_ndjson_stream(text)
+        if ts.num_frames == 0:
+            parser.error(f"{label}: stream contains no token frames")
+        n_sem, n_acc = ts.semantic.shape[0], ts.acoustic.shape[0]
+        if (n_sem != tok.num_semantic_layers
+                or n_acc != tok.num_acoustic_layers):
+            parser.error(
+                f"{label}: stream has {n_sem}+{n_acc} token layers but the "
+                f"model expects {tok.num_semantic_layers}+"
+                f"{tok.num_acoustic_layers} (match --num-quantizers)")
+        hi = tok.codebook_size - 1
+        if ts.semantic.max(initial=0) > hi or ts.acoustic.max(initial=0) > hi:
+            logger.warn(f"{label}: token ids exceed codebook size "
+                        f"{tok.codebook_size}; clipping (check "
+                        "--codebook-size matches the encoder)")
+        sem = np.clip(ts.semantic, 0, hi)
+        acc = np.clip(ts.acoustic, 0, hi)
+
+        recon = tok.decode_tokens(
+            [sem[i][None, :] for i in range(n_sem)],
+            [acc[i][None, :] for i in range(n_acc)]).reshape(-1)
+        recon = recon - np.mean(recon)          # reference post-processing
+        recon = np.tanh(recon * 0.95) * 0.95    # (5003-5009)
+
+        sr = int(ts.header.get("sr", tok.sample_rate))
+        out_path = args.output or default_out
+        audio_io.write_wav(out_path, recon.astype(np.float32), sr)
+        logger.info(f"{label}: decoded {ts.num_frames} frames → {out_path} "
+                    f"({len(recon) / sr:.2f}s @ {sr} Hz)")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -307,6 +385,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         temperature=args.temperature,
         compute_dtype=args.compute_dtype,
     )
+
+    if args.decode_tokens:
+        return run_decode_tokens(args, pipeline, parser)
 
     # -- input routing (reference 5482-5582) -------------------------------
     input_files: List[str] = []

@@ -154,6 +154,7 @@ class NeuralAudioTokenizer:
         self.sem_rvq: Optional[RVQState] = None
         self.acc_rvq: Optional[RVQState] = None
         self._forward_cache: Dict[Any, Any] = {}
+        self._decode_jit = None  # jitted decode_tokens (lazy)
         self._needs_audio_seeding = False
         self._rng = jax.random.PRNGKey(seed)
 
@@ -639,15 +640,28 @@ class NeuralAudioTokenizer:
         return self(waveform, actual_sample_rate)
 
     def decode_tokens(self, semantic_codes: List, acoustic_codes: List):
-        """Token layers → waveform via RVQ decode + reconstruction decoder."""
+        """Token layers → waveform via RVQ decode + reconstruction decoder.
+
+        Jitted (specialized per token-matrix shape): the decode is a chain
+        of small ops whose eager per-op dispatch latency would dominate on
+        a remote accelerator."""
         self.ensure_initialized()
         if not self.enable_reconstruction:
             raise ValueError("decode_tokens requires enable_reconstruction")
+        if self._decode_jit is None:
+            hop = self.hop_length
+
+            @jax.jit
+            def decode(params, sem_rvq, acc_rvq, sem, acc):
+                sem_q = rvq_decode(sem_rvq, sem)
+                acc_q = rvq_decode(acc_rvq, acc)
+                joint = jnp.concatenate([sem_q, acc_q], axis=-1)
+                return self.decoder.apply(
+                    {"params": params["decoder"]}, joint,
+                    sem.shape[-1] * hop)
+
+            self._decode_jit = decode
         sem = jnp.stack([jnp.asarray(c) for c in semantic_codes])
         acc = jnp.stack([jnp.asarray(c) for c in acoustic_codes])
-        sem_q = rvq_decode(self.sem_rvq, sem)
-        acc_q = rvq_decode(self.acc_rvq, acc)
-        joint = jnp.concatenate([sem_q, acc_q], axis=-1)
-        out_samples = sem.shape[-1] * self.hop_length
-        return np.asarray(self.decoder.apply(
-            {"params": self.params["decoder"]}, joint, out_samples))
+        return np.asarray(self._decode_jit(
+            self.params, self.sem_rvq, self.acc_rvq, sem, acc))

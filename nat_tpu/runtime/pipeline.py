@@ -18,6 +18,7 @@ TPU-native counterpart of reference `AudioTokenizationPipeline`
 from __future__ import annotations
 
 import hashlib
+import os
 import time
 from dataclasses import asdict
 from pathlib import Path
@@ -128,6 +129,24 @@ class AudioTokenizationPipeline:
                 logger.info(f"Pinned JAX platform: {target}")
             except Exception as exc:
                 logger.warn(f"Could not pin device '{device}': {exc}")
+        else:
+            # Honor JAX_PLATFORMS=cpu even when an accelerator plugin
+            # ignores it (the axon backend registers regardless of the
+            # env var); pinning keeps `JAX_PLATFORMS=cpu nat ...`
+            # genuinely CPU-only — eager per-op dispatch over a remote
+            # accelerator tunnel is pathological.  Only the cpu case is
+            # pinned: accelerator platform names go through jax's alias
+            # table, where a plugin name can resolve to a backend that
+            # isn't actually registered.
+            env_pref = os.environ.get("JAX_PLATFORMS", "").split(",")[0]
+            if env_pref.strip().lower() == "cpu":
+                try:
+                    import jax
+
+                    jax.config.update("jax_platform_name", "cpu")
+                    logger.debug("Pinned JAX platform from env: cpu")
+                except Exception as exc:
+                    logger.warn(f"Could not honor JAX_PLATFORMS: {exc}")
 
         hop_length = self.model_config.get("hop_length", 512)
         codebook_size = self.model_config.get("codebook_size", 1024)
