@@ -97,7 +97,7 @@ def _polyphase_bank(up: int, down: int) -> Tuple[np.ndarray, int]:
     return bank, j_min
 
 
-def resample_jax(x, orig_sr: int, new_sr: int):
+def resample_jax(x, orig_sr: int, new_sr: int, precision=None):
     """Rational polyphase resampling of ``[B, T]`` on device.
 
     Shifted-block formulation: the window for output block ``b`` starts at
@@ -105,11 +105,15 @@ def resample_jax(x, orig_sr: int, new_sr: int):
     blocks ``xb``, ``y_b = Σ_j xb[b+j] @ bank[j·down:(j+1)·down]`` — a few
     shifted ``[blocks, down] × [down, up]`` matmuls (MXU) instead of a
     strided window gather, which dominated resample time on TPU.
-    Jit-able, static shapes, differentiable.
+    Jit-able, static shapes, differentiable.  ``precision`` defaults to
+    ``Precision.HIGHEST``; pass ``DEFAULT`` when the consumer computes in
+    bfloat16 anyway.
     """
     import jax
     import jax.numpy as jnp
 
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     if orig_sr == new_sr:
         return x
     up, down = _rational_approx(orig_sr, new_sr)
@@ -135,6 +139,6 @@ def resample_jax(x, orig_sr: int, new_sr: int):
     for j in range(nparts):
         part = jnp.asarray(bank_padded[j * down:(j + 1) * down])
         out = out + jnp.matmul(xb[..., j : j + num_blocks, :], part,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=precision)
     out = out.reshape(*x.shape[:-1], num_blocks * up)
     return out[..., :out_len]

@@ -74,8 +74,16 @@ def stft_power(
     power: float = 2.0,
     normalized: bool = False,
     use_matmul_dft: bool = True,
+    precision=None,
 ) -> jnp.ndarray:
-    """Magnitude(^power) STFT of ``[..., T]`` → ``[..., n_freqs, frames]``."""
+    """Magnitude(^power) STFT of ``[..., T]`` → ``[..., n_freqs, frames]``.
+
+    ``precision`` controls the DFT matmuls (default ``Precision.HIGHEST``
+    = fp32-accurate multi-pass on the MXU; pass ``Precision.DEFAULT`` when
+    the consumer computes in bfloat16 anyway — 3-6× fewer MXU passes).
+    """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     win_length = win_length or n_fft
     if window is None:
         window = hann_window(win_length)
@@ -121,16 +129,14 @@ def stft_power(
         for j in range(r):
             blk = xb[..., j : j + n, :]
             sl = slice(j * hop_length, (j + 1) * hop_length)
-            re = re + jnp.matmul(blk, cos_w[sl],
-                                 precision=jax.lax.Precision.HIGHEST)
-            im = im + jnp.matmul(blk, sin_w[sl],
-                                 precision=jax.lax.Precision.HIGHEST)
+            re = re + jnp.matmul(blk, cos_w[sl], precision=precision)
+            im = im + jnp.matmul(blk, sin_w[sl], precision=precision)
         mag_sq = re * re + im * im
     elif use_matmul_dft:
         frames = frame_signal(x, n_fft, hop_length, center, pad_mode) * window
         cos_b, sin_b = _dft_bases(n_fft)
-        re = jnp.matmul(frames, jnp.asarray(cos_b), precision=jax.lax.Precision.HIGHEST)
-        im = -jnp.matmul(frames, jnp.asarray(sin_b), precision=jax.lax.Precision.HIGHEST)
+        re = jnp.matmul(frames, jnp.asarray(cos_b), precision=precision)
+        im = -jnp.matmul(frames, jnp.asarray(sin_b), precision=precision)
         mag_sq = re * re + im * im
     else:
         frames = frame_signal(x, n_fft, hop_length, center, pad_mode) * window
@@ -157,20 +163,23 @@ def mel_spectrogram(
     mel_scale: str = "htk",
     norm: Optional[str] = None,
     center: bool = True,
+    precision=None,
 ) -> jnp.ndarray:
     """torchaudio-equivalent MelSpectrogram: ``[..., T]`` → ``[..., n_mels, frames]``.
 
     The mel projection is a single [freq, n_mels] matmul — MXU work fused by
     XLA with the DFT matmuls above it.
     """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     f_max = f_max or sample_rate / 2.0
     spec = stft_power(x, n_fft=n_fft, hop_length=hop_length, power=power,
-                      normalized=normalized, center=center)
+                      normalized=normalized, center=center,
+                      precision=precision)
     fb = jnp.asarray(melscale_fbanks(
         n_fft // 2 + 1, f_min, f_max, n_mels, sample_rate,
         norm=norm, mel_scale=mel_scale))
-    return jnp.einsum("...ft,fm->...mt", spec, fb,
-                      precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("...ft,fm->...mt", spec, fb, precision=precision)
 
 
 def log_mel_spectrogram(x: jnp.ndarray, eps: float = 1e-10, **kwargs) -> jnp.ndarray:

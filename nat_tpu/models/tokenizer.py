@@ -428,10 +428,16 @@ class NeuralAudioTokenizer:
         use_pallas = self.use_pallas
         mel_encoder = self._mel_encoder_for(sr)
 
+        # DSP precision follows the compute dtype (see MelResidualEncoder).
+        dsp_precision = (jax.lax.Precision.DEFAULT
+                         if self.compute_dtype == "bfloat16"
+                         else jax.lax.Precision.HIGHEST)
+
         @jax.jit
         def forward(params, sem_rvq: RVQState, acc_rvq: RVQState,
                     waveform: jnp.ndarray, rng: jax.Array):
-            wave16 = resample_jax(waveform, sr, SEMANTIC_SR)
+            wave16 = resample_jax(waveform, sr, SEMANTIC_SR,
+                                  precision=dsp_precision)
             sem_feats = self.semantic_encoder.apply(
                 {"params": params["semantic_encoder"]}, wave16)  # [B, Ts, D]
             acc_feats = mel_encoder.apply(
