@@ -53,6 +53,15 @@ class StreamingWavReader:
     def failed(self) -> bool:
         return self._failed
 
+    @property
+    def complete(self) -> bool:
+        """Payload fully consumed (self-terminating container only)."""
+        return self._in_data and self._data_remaining == 0
+
+    def trailing_bytes(self) -> bytes:
+        """Unconsumed bytes past the payload (valid once ``complete``)."""
+        return bytes(self._buf)
+
     def digest(self) -> str:
         return self._sha.hexdigest()
 
@@ -131,6 +140,7 @@ class StreamingAuReader:
         self._offset: Optional[int] = None
         self._buf = bytearray()
         self._in_data = False
+        self._data_remaining: Optional[int] = None
         self._sha = hashlib.sha256()
         self._failed = False
 
@@ -141,6 +151,13 @@ class StreamingAuReader:
     @property
     def failed(self) -> bool:
         return self._failed
+
+    @property
+    def complete(self) -> bool:
+        return self._in_data and self._data_remaining == 0
+
+    def trailing_bytes(self) -> bytes:
+        return bytes(self._buf)
 
     def digest(self) -> str:
         return self._sha.hexdigest()
@@ -156,11 +173,13 @@ class StreamingAuReader:
             if bytes(self._buf[:4]) != b".snd":
                 self._failed = True
                 return
-            (self._offset, _size, self.encoding, self.sample_rate,
+            (self._offset, size, self.encoding, self.sample_rate,
              self.channels) = struct.unpack_from(">IIIII", self._buf, 4)
             if self.encoding not in self._BYTES_PER:
                 self._failed = True
                 return
+            # 0xFFFFFFFF = unknown length (stream to EOF)
+            self._data_remaining = size if size != 0xFFFFFFFF else None
         if len(self._buf) >= self._offset:
             del self._buf[: self._offset]
             self._in_data = True
@@ -169,11 +188,16 @@ class StreamingAuReader:
         if not self.ready or self._failed:
             return None
         frame_bytes = self._BYTES_PER[self.encoding] * self.channels
-        usable = len(self._buf) - (len(self._buf) % frame_bytes)
+        avail = len(self._buf)
+        if self._data_remaining is not None:
+            avail = min(avail, self._data_remaining)
+        usable = avail - (avail % frame_bytes)
         if usable <= 0:
             return None
         raw = bytes(self._buf[:usable])
         del self._buf[:usable]
+        if self._data_remaining is not None:
+            self._data_remaining -= usable
         if self.encoding == 1:
             samples = _MULAW[np.frombuffer(raw, dtype=np.uint8)]
         elif self.encoding == 2:
@@ -215,6 +239,13 @@ class StreamingAiffReader:
     @property
     def failed(self) -> bool:
         return self._failed
+
+    @property
+    def complete(self) -> bool:
+        return self._in_data and self._data_remaining == 0
+
+    def trailing_bytes(self) -> bytes:
+        return bytes(self._buf)
 
     def digest(self) -> str:
         return self._sha.hexdigest()
@@ -320,6 +351,15 @@ class StreamingFlacReader:
     def failed(self) -> bool:
         return self._failed
 
+    @property
+    def complete(self) -> bool:
+        """All declared samples decoded (STREAMINFO total_samples > 0)."""
+        return (self._meta_done and bool(self._info.total_samples)
+                and self._decoded_total >= self._info.total_samples)
+
+    def trailing_bytes(self) -> bytes:
+        return bytes(self._buf)
+
     def digest(self) -> str:
         return self._sha.hexdigest()
 
@@ -394,6 +434,115 @@ def make_stream_reader(head: bytes):
     if head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
         return StreamingAiffReader()
     return None
+
+
+def iter_fs_streams(stream, block_bytes: int = 1 << 16
+                    ) -> Iterator[Tuple[str, object]]:
+    """Drive incremental readers over an (optionally) ASCII-FS-delimited
+    multi-file byte stream — the streaming analog of the buffered FS
+    splitter (reference neural_audio_tokenizer.py:5195-5214).
+
+    Yields ``("file", index)`` at each file start, then that file's
+    ``("rate", sr)`` / ``("samples", ndarray)`` / ``("sha256", digest)``
+    events; ``sha256`` terminates the file (its digest covers the file's
+    own bytes, excluding FS separators).
+
+    Splitting happens only at container boundaries: a file ends when its
+    reader reports ``complete`` (self-terminating container — sized WAV/
+    AIFF/AU payloads, FLAC with total_samples) and the next non-FS bytes
+    start a new container.  The final file may stream to EOF; trailing
+    non-FS junk after a complete container is hashed and discarded
+    (single-file compatibility).
+    """
+    carry = b""
+    eof = False
+    idx = 0
+
+    def fill(n: int) -> None:
+        nonlocal carry, eof
+        while len(carry) < n and not eof:
+            b = stream.read(block_bytes)
+            if not b:
+                eof = True
+                return
+            carry += b
+
+    while True:
+        fill(1)
+        while carry and carry[0] == 0x1C:   # drop separators (and blanks)
+            carry = carry.lstrip(b"\x1c")
+            fill(1)
+        if not carry:
+            break
+        fill(12)
+        reader = make_stream_reader(carry)
+        if reader is None:
+            raise ValueError(
+                "FS chunk is not an incrementally decodable container")
+        yield "file", idx
+        sha = hashlib.sha256()
+        announced = False
+        prev_block: Optional[bytes] = None   # hashed one block late: the
+        #                                      trailing suffix of the final
+        #                                      block belongs to the NEXT file
+        while True:
+            if carry:
+                block, carry = carry, b""
+            elif eof:
+                block = b""
+            else:
+                block = stream.read(block_bytes)
+                if not block:
+                    eof = True
+            if block:
+                reader.feed(block)
+                if prev_block is not None:
+                    sha.update(prev_block)
+                prev_block = block
+            if reader.failed:
+                raise ValueError("stream is not incrementally decodable")
+            if reader.ready and not announced:
+                yield "rate", int(reader.sample_rate)
+                announced = True
+            out = reader.take_samples()
+            if out is not None and out.size:
+                yield "samples", out
+            if getattr(reader, "complete", False):
+                trailing = reader.trailing_bytes()
+                if prev_block is not None:
+                    if trailing and len(trailing) <= len(prev_block):
+                        sha.update(prev_block[: len(prev_block)
+                                              - len(trailing)])
+                    elif not trailing:
+                        sha.update(prev_block)
+                    # trailing longer than the last block would mean the
+                    # driver fed past completion — it never does.
+                carry = trailing
+                fill(1)
+                if carry and carry[0] != 0x1C:
+                    # Trailing junk (e.g. post-data RIFF chunks), not a
+                    # new FS-delimited file: hash + discard to EOF.
+                    sha.update(carry)
+                    while True:
+                        junk = stream.read(block_bytes)
+                        if not junk:
+                            eof = True
+                            break
+                        sha.update(junk)
+                    carry = b""
+                break
+            if eof and not block:
+                if hasattr(reader, "finish"):
+                    reader.finish()
+                if prev_block is not None:
+                    sha.update(prev_block)
+                break
+        if not announced:
+            raise ValueError("stream ended before an audio header was parsed")
+        yield "sha256", sha.hexdigest()
+        idx += 1
+        if eof and not carry:
+            break
 
 
 def iter_stream_samples(stream, block_bytes: int = 1 << 16

@@ -568,25 +568,50 @@ class AudioTokenizationPipeline:
         WAV/AIFF/AU payloads decode block-by-block; FLAC decodes frame-by-
         frame through the first-party decoder (see io/stream_reader.py).
 
+        ASCII-FS (0x1C) delimited multi-file pipes stream too — one
+        complete NDJSON stream (header/frames/end) per file, split at
+        container boundaries — which makes a long-lived ``... | nat
+        --stream-stdin`` pipe a persistent tokenizer daemon: compiled
+        forwards are reused across files and each file's frames emit
+        before its bytes finish arriving.
+
         Span scheduling is identical to the buffered chunked path
         (bucketing.chunk_spans), so tokens match buffered tokenization of
         the same raw samples.  Documented differences: no global peak
         normalization (the peak isn't known until EOF) and the header
         carries ``audio_sha256: null`` — the raw-byte digest lands in
         ``end.stats.audio_sha256`` instead.
+
+        Returns the last file's result dict (single-file calls see the
+        same shape as before); all per-file results are under
+        ``"all_results"``.
         """
-        from ..io.stream_reader import iter_stream_samples
-        from ..runtime.bucketing import MAX_SINGLE_CHUNK_S
+        from ..io.stream_reader import iter_fs_streams
 
         tok = self.tokenizer
         if not hasattr(tok, "tokenize_span"):
             raise ValueError("--stream-stdin requires the neural tokenizer "
                              "(compat mode reads buffered stdin)")
         tok.ensure_initialized()
+
+        gen = iter_fs_streams(stream)
+        results: List[Dict[str, Any]] = []
+        for kind, payload in gen:
+            assert kind == "file", f"unexpected event {kind}"
+            results.append(self._stream_one_file(gen, write, int(payload)))
+        if not results:
+            raise ValueError("empty stream: no audio before EOF")
+        return {**results[-1], "all_results": results}
+
+    def _stream_one_file(self, gen, write, index: int) -> Dict[str, Any]:
+        """Consume one file's rate/samples/sha256 events from ``gen`` and
+        emit its complete NDJSON stream through ``write``."""
+        from ..runtime.bucketing import MAX_SINGLE_CHUNK_S
+
+        tok = self.tokenizer
         start_time = time.time()
         self.budget_meter.reset()
 
-        gen = iter_stream_samples(stream)
         kind, sr = next(gen)
         assert kind == "rate"
         max_len = int(MAX_SINGLE_CHUNK_S * sr)
@@ -596,7 +621,7 @@ class AudioTokenizationPipeline:
         self.streaming.ndjson_streamer.audio_sha256 = None
         write(self.streaming.begin_stream(
             metadata={
-                "file_path": "<stdin>",
+                "file_path": "<stdin>" if index == 0 else f"<stdin#{index}>",
                 "sample_rate": sr,
                 "processing_sample_rate": self.sample_rate,
                 "audio_sha256": None,
@@ -633,7 +658,7 @@ class AudioTokenizationPipeline:
         for kind, payload in gen:
             if kind == "sha256":
                 sha = payload
-                continue
+                break  # terminates this file's events
             buf = np.concatenate([buf, payload])
             total += int(payload.size)
             # Interior span k is processable once its extended window is

@@ -157,6 +157,108 @@ class TestStreamingContainerReaders:
         np.testing.assert_array_equal(streamed, expected)
 
 
+class TestIterFsStreams:
+    """FS-delimited multi-file byte streams split at container boundaries."""
+
+    @pytest.mark.parametrize("block", [23, 1024, 1 << 16])
+    def test_wav_flac_au_sequence(self, block):
+        import hashlib
+
+        from nat_tpu.io.audio import decode_au
+        from nat_tpu.io.flac import decode_flac, encode_flac
+        from nat_tpu.io.stream_reader import iter_fs_streams
+
+        wav_data, _ = _wav_bytes(seconds=0.5, sr=8000)
+        sig2 = (0.3 * np.sin(np.linspace(0, 80, 6000))).astype(np.float32)
+        flac_data = encode_flac(sig2, 8000)
+        sig3 = (0.4 * np.cos(np.linspace(0, 50, 4000))).astype(np.float32)
+        au_data = _au_bytes(sig3, 16000)
+
+        pieces = [wav_data, flac_data, au_data]
+        data = b"\x1c".join(pieces)
+        events = list(iter_fs_streams(io.BytesIO(data), block_bytes=block))
+
+        files = [i for i, (k, _) in enumerate(events) if k == "file"]
+        assert [events[i][1] for i in files] == [0, 1, 2]
+
+        expected = [decode_wav(wav_data), decode_flac(flac_data),
+                    decode_au(au_data)]
+        # split the flat event list back into per-file groups
+        groups = []
+        for start, stop in zip(files, files[1:] + [len(events)]):
+            groups.append(events[start + 1: stop])
+        for group, piece, (want_audio, want_sr) in zip(
+                groups, pieces, expected):
+            assert group[0] == ("rate", want_sr)
+            assert group[-1] == ("sha256",
+                                 hashlib.sha256(piece).hexdigest())
+            got = np.concatenate([p for k, p in group if k == "samples"])
+            np.testing.assert_array_equal(got, want_audio)
+
+    def test_trailing_junk_stays_in_file(self):
+        import hashlib
+
+        from nat_tpu.io.stream_reader import iter_fs_streams
+
+        wav_data, _ = _wav_bytes(seconds=0.25, sr=8000)
+        data = wav_data + b"LIST\x04\x00\x00\x00INFO"  # post-data chunk
+        events = list(iter_fs_streams(io.BytesIO(data), block_bytes=64))
+        assert sum(1 for k, _ in events if k == "file") == 1
+        assert events[-1] == ("sha256", hashlib.sha256(data).hexdigest())
+
+    def test_blank_chunks_dropped(self):
+        from nat_tpu.io.stream_reader import iter_fs_streams
+
+        wav_data, _ = _wav_bytes(seconds=0.25, sr=8000)
+        data = b"\x1c\x1c" + wav_data + b"\x1c\x1c\x1c" + wav_data + b"\x1c"
+        events = list(iter_fs_streams(io.BytesIO(data), block_bytes=512))
+        assert [p for k, p in events if k == "file"] == [0, 1]
+
+
+@pytest.mark.slow
+class TestPipelineFsStreamStdin:
+    def test_two_files_two_streams(self):
+        from nat_tpu.io.audio import decode_wav as _dw
+        from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
+
+        pipe = AudioTokenizationPipeline(
+            sample_rate=8000,
+            model_config={"codebook_size": 64, "semantic_dim": 64,
+                          "acoustic_dim": 64, "n_mels": 32},
+            enable_reconstruction=False,
+            codebook_init_method="random",
+            enable_codebook_cache=False,
+        )
+        a, _ = _wav_bytes(seconds=1.0, sr=8000, freq=440.0)
+        b, _ = _wav_bytes(seconds=0.5, sr=8000, freq=220.0)
+        lines = []
+        result = pipe.stream_stdin(
+            io.BytesIO(a + b"\x1c" + b),
+            lambda l: lines.extend(l.splitlines()))
+
+        headers = [json.loads(l) for l in lines if '"event":"header"' in l]
+        ends = [json.loads(l) for l in lines if '"event":"end"' in l]
+        assert len(headers) == 2 and len(ends) == 2
+        assert headers[0]["metadata"]["file_path"] == "<stdin>"
+        assert headers[1]["metadata"]["file_path"] == "<stdin#1>"
+        import hashlib
+
+        assert ends[0]["stats"]["audio_sha256"] == hashlib.sha256(
+            a).hexdigest()
+        assert ends[1]["stats"]["audio_sha256"] == hashlib.sha256(
+            b).hexdigest()
+
+        assert len(result["all_results"]) == 2
+        for data, res in zip((a, b), result["all_results"]):
+            raw_audio, _sr = _dw(data)
+            buffered = pipe.tokenizer(raw_audio[None, :],
+                                      actual_sample_rate=8000)
+            for got, want in zip(res["semantic_codes"],
+                                 buffered["semantic_codes"]):
+                np.testing.assert_array_equal(np.asarray(got),
+                                              np.asarray(want))
+
+
 class _TrackedStream:
     """BytesIO wrapper recording how much was unread at each observation."""
 
