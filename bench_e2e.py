@@ -82,6 +82,18 @@ def main() -> None:
         batch_elapsed = time.perf_counter() - start
         batch_rtf = (n_files * seconds) / batch_elapsed
 
+        # Path 3: the streaming daemon (FS-delimited multi-file pipe) —
+        # per-file NDJSON streams, compiled forwards reused across files.
+        import io
+
+        n_daemon = 4
+        blobs = [open(p, "rb").read() for p in paths[:n_daemon]]
+        pipe_bytes = b"\x1c".join(blobs)
+        start = time.perf_counter()
+        pipe.stream_stdin(io.BytesIO(pipe_bytes), sink.write)
+        daemon_elapsed = time.perf_counter() - start
+        daemon_rtf = (n_daemon * seconds) / daemon_elapsed
+
     if errors:
         raise SystemExit(f"batch path failed: {errors[0]}")
 
@@ -96,6 +108,12 @@ def main() -> None:
         "value": round(batch_rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(batch_rtf / 100.0, 3),
+    }))
+    print(json.dumps({
+        "metric": "e2e_daemon_x_realtime",
+        "value": round(daemon_rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(daemon_rtf / 100.0, 3),
     }))
 
 
