@@ -405,7 +405,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .io.stream_reader import make_stream_reader
 
         head = sys.stdin.buffer.read(1 << 16)
-        if make_stream_reader(head) is not None:
+        # iter_fs_streams drops leading FS separators itself; sniff past
+        # them so FS-prefixed pipes still stream.
+        if make_stream_reader(head.lstrip(b"\x1c")) is not None:
             pipeline.stream_stdin(_PrefixedStream(head, sys.stdin.buffer),
                                   logger.stdout)
             return 0
