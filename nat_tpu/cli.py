@@ -232,9 +232,6 @@ def run_decode_tokens(args, pipeline, parser) -> int:
     from .io import audio as audio_io
     from .stream.reader import parse_ndjson_stream
 
-    if args.no_reconstruction:
-        parser.error("--decode-tokens requires the reconstruction decoder "
-                     "(drop --no-reconstruction)")
     if pipeline.compat_mode:
         parser.error("--decode-tokens is unavailable in compat mode "
                      "(no decoder exists)")
@@ -323,6 +320,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     logger.info(f"{BANNER} - MERT music-optimized codebook initialization")
     logger.debug(f"Log level: {log_level.value}; default mode: {default_mode}")
+
+    # Cheap flag validation BEFORE the (expensive) pipeline construction.
+    if args.decode_tokens and args.no_reconstruction:
+        parser.error("--decode-tokens requires the reconstruction decoder "
+                     "(drop --no-reconstruction)")
 
     # Model configuration: config file < CLI flags.
     model_config: Dict = {}

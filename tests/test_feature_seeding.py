@@ -47,6 +47,7 @@ class TestKmeansInit:
         tok.maybe_seed_from_audio(audio, 16000)
         np.testing.assert_array_equal(after, np.asarray(tok.sem_rvq.codebook))
 
+    @pytest.mark.slow
     def test_seeded_tokens_not_collapsed_and_differ_from_random(self):
         """Seeded-vs-random token assertion: on a non-stationary signal the
         audio-seeded codebooks must clear the product's own collapse bar

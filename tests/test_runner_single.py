@@ -53,6 +53,7 @@ def test_row_subbatching(tokenizer, monkeypatch):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_pipeline_tokenize_many_single_device(tokenizer, tmp_path):
     """pipeline._tokenize_many batches on one device and matches the
     sequential result entry-for-entry."""
