@@ -206,6 +206,47 @@ class TestIterFsStreams:
         assert sum(1 for k, _ in events if k == "file") == 1
         assert events[-1] == ("sha256", hashlib.sha256(data).hexdigest())
 
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_randomized_sequences(self, seed):
+        """Property test: random mixes of formats/lengths/block sizes
+        always split exactly and decode sample-exactly."""
+        import hashlib
+
+        from nat_tpu.io.audio import decode_bytes
+        from nat_tpu.io.flac import encode_flac
+        from nat_tpu.io.stream_reader import iter_fs_streams
+
+        rng = np.random.default_rng(seed)
+        pieces = []
+        for _ in range(int(rng.integers(2, 5))):
+            n = int(rng.integers(300, 5000))
+            sig = (0.4 * rng.standard_normal(n)).astype(np.float32)
+            kind = rng.integers(0, 4)
+            if kind == 0:
+                pieces.append(encode_wav_pcm16(sig, 8000))
+            elif kind == 1:
+                pieces.append(encode_flac(sig, 8000))
+            elif kind == 2:
+                pieces.append(_aiff_bytes(sig, 8000))
+            else:
+                pieces.append(_au_bytes(sig, 8000))
+        data = b"\x1c".join(pieces)
+        block = int(rng.integers(7, 5000))
+
+        events = list(iter_fs_streams(io.BytesIO(data), block_bytes=block))
+        file_marks = [i for i, (k, _) in enumerate(events) if k == "file"]
+        assert len(file_marks) == len(pieces)
+        for fi, (start, stop) in enumerate(zip(
+                file_marks, file_marks[1:] + [len(events)])):
+            group = events[start + 1: stop]
+            want_audio, want_sr = decode_bytes(pieces[fi],
+                                               allow_raw_fallback=False)
+            assert group[0] == ("rate", want_sr)
+            assert group[-1] == ("sha256",
+                                 hashlib.sha256(pieces[fi]).hexdigest())
+            got = np.concatenate([p for k, p in group if k == "samples"])
+            np.testing.assert_array_equal(got, want_audio)
+
     def test_blank_chunks_dropped(self):
         from nat_tpu.io.stream_reader import iter_fs_streams
 
