@@ -34,6 +34,30 @@ def test_encode_decode_roundtrip(cli, simple_wav, tmp_path):
 
 
 @pytest.mark.slow
+def test_decode_rle_stream_matches_dense(cli, simple_wav, tmp_path):
+    """RLE streams decode to the same audio as dense streams of the same
+    file (the reader reconstructs the dense matrix via forward-fill)."""
+    rc, dense, err = cli([str(simple_wav), "--deterministic", *MODEL_FLAGS],
+                         timeout=600)
+    assert rc == 0, err
+    rc, rle, err = cli([str(simple_wav), "--rle", "--deterministic",
+                        *MODEL_FLAGS], timeout=600)
+    assert rc == 0, err
+    (tmp_path / "d.ndjson").write_text(dense)
+    (tmp_path / "r.ndjson").write_text(rle)
+
+    for name in ("d", "r"):
+        rc, out, err = cli(["--decode-tokens", str(tmp_path / f"{name}.ndjson"),
+                            "-o", str(tmp_path / f"{name}.wav"),
+                            "--deterministic", *MODEL_FLAGS], timeout=600)
+        assert rc == 0, err
+    a, sr_a = decode_wav((tmp_path / "d.wav").read_bytes())
+    b, sr_b = decode_wav((tmp_path / "r.wav").read_bytes())
+    assert sr_a == sr_b
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
 def test_decode_tokens_layer_mismatch_errors(cli, simple_wav, tmp_path):
     rc, ndjson, err = cli([str(simple_wav), *MODEL_FLAGS], timeout=600)
     assert rc == 0, err
