@@ -18,6 +18,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -100,15 +101,19 @@ def stft_power(
             window_np = np.pad(window_np,
                                (lpad, n_fft - win_length - lpad))
 
-    if use_matmul_dft and n_fft % hop_length == 0 and window_np is not None:
+    g = math.gcd(n_fft, hop_length)
+    if use_matmul_dft and g >= 32 and window_np is not None:
         # Shifted-block DFT: never materialize the [..., frames, n_fft]
         # window tensor (it is n_fft/hop × the signal size and its
-        # gather/scatter dominates STFT time on TPU).  With r = n_fft/hop
-        # hop-sized signal blocks xb, frame f is concat(xb[f:f+r]), so
-        #   re[f] = Σ_j (xb[f+j] · w_j) @ C[j·hop:(j+1)·hop]
-        # — r shifted [n, hop] × [hop, n_freq] matmuls with the window
-        # folded into the bases.  Same math as the dense form (addition
-        # order differs per partial only), all MXU work, zero gathers.
+        # gather/scatter dominates STFT time on TPU).  With the padded
+        # signal reshaped into g-sized blocks xb (g = gcd(n_fft, hop)),
+        # frame f starts at block f·(hop/g) and spans r = n_fft/g blocks:
+        #   re[f] = Σ_j (xb[f·step + j] · w_j) @ C[j·g:(j+1)·g]
+        # — r strided [n, g] × [g, n_freq] matmuls with the window folded
+        # into the bases.  Same math as the dense form (addition order
+        # differs per partial only), all MXU work, zero gathers.  The
+        # g ≥ 32 guard keeps the matmul K-dim MXU-friendly; smaller gcds
+        # fall back to the dense-frames matmul below.
         cos_b, sin_b = _dft_bases(n_fft)
         wf = window_np.astype(np.float32)[:, None]
         cos_w = jnp.asarray(wf * cos_b)
@@ -121,14 +126,15 @@ def stft_power(
             xp = x
         t = xp.shape[-1]
         n = (t - n_fft) // hop_length + 1
-        r = n_fft // hop_length
-        nb = n + r - 1
-        xp = xp[..., : nb * hop_length]
-        xb = xp.reshape(*xp.shape[:-1], nb, hop_length)
+        step = hop_length // g
+        r = n_fft // g
+        nb = (n - 1) * step + r
+        xp = xp[..., : nb * g]
+        xb = xp.reshape(*xp.shape[:-1], nb, g)
         re = im = 0.0
         for j in range(r):
-            blk = xb[..., j : j + n, :]
-            sl = slice(j * hop_length, (j + 1) * hop_length)
+            blk = xb[..., j : j + (n - 1) * step + 1 : step, :]  # [.., n, g]
+            sl = slice(j * g, (j + 1) * g)
             re = re + jnp.matmul(blk, cos_w[sl], precision=precision)
             im = im + jnp.matmul(blk, sin_w[sl], precision=precision)
         mag_sq = re * re + im * im

@@ -61,6 +61,19 @@ class TestStftVsTorch:
                                            use_matmul_dft=False))
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("n_fft,hop", [(1024, 320), (2048, 512),
+                                           (1024, 768), (512, 200)])
+    def test_block_dft_strided_hops(self, n_fft, hop):
+        """The gcd-strided block-DFT path (incl. hops that do NOT divide
+        n_fft — the spectral-fallback 1024/320 combo) matches rfft."""
+        x = _sig(dur=0.21)
+        a = np.asarray(stft_mod.stft_power(jnp.asarray(x), n_fft, hop,
+                                           use_matmul_dft=True))
+        b = np.asarray(stft_mod.stft_power(jnp.asarray(x), n_fft, hop,
+                                           use_matmul_dft=False))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
     def test_frame_count_formula(self):
         x = jnp.zeros(22050)
         spec = stft_mod.stft_power(x, n_fft=2048, hop_length=512)
