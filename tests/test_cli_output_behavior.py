@@ -130,6 +130,24 @@ def test_deterministic_mode_reproducible(cli, simple_wav):
     assert frames_of(out1) == frames_of(out2)
 
 
+@pytest.mark.slow
+def test_neural_deterministic_mode_reproducible(cli, simple_wav):
+    """The NEURAL path (argmin quantization) is byte-identical across
+    processes — stronger than the compat-mode check above."""
+    flags = ["--deterministic", "--codebook-size", "64", "--semantic-dim",
+             "64", "--acoustic-dim", "64", "--n-mels", "32",
+             "--no-reconstruction", str(simple_wav)]
+    rc1, out1, err1 = cli(flags, timeout=600)
+    rc2, out2, err2 = cli(flags, timeout=600)
+    assert rc1 == 0, err1
+    assert rc2 == 0, err2
+
+    def sans_end(s):  # end.stats carries wall-clock timings
+        return [l for l in s.splitlines() if '"event":"end"' not in l]
+
+    assert sans_end(out1) == sans_end(out2)
+
+
 def test_piped_stdin_binary(cli, simple_wav):
     data = simple_wav.read_bytes()
     rc, stdout, stderr = cli(["--compat-fallback"], stdin_bytes=data)
