@@ -1,47 +1,56 @@
 """Native audio-quality metrics (numpy; no librosa dependency).
 
-Counterparts of reference TokenizationEvaluator internals
-(neural_audio_tokenizer.py:3356-3732): multi-resolution STFT loss, log
-spectral distance, mel/perceptual losses, dominant-pitch correlation
-(librosa.piptrack stand-in), onset-interval rhythm correlation, and
-mean-MFCC cosine timbral similarity.  All operate on mono float arrays.
+Value-parity counterparts of reference TokenizationEvaluator internals
+(neural_audio_tokenizer.py:3356-3732).  Every formula here matches the
+reference's code on identical inputs: linear-magnitude spectral MSE
+(:3470-3473), MFCC-MSE perceptual loss (:3481-3484), MR-STFT (:3527-3553),
+LSD (:3555-3575), piptrack dominant-pitch correlation (:3639-3673),
+onset-interval rhythm correlation (:3675-3711), and mean-MFCC cosine
+timbral similarity (:3713-3732).  The librosa calls those formulas make are
+served by :mod:`nat_tpu.eval.librosa_compat` (librosa-0.10-faithful numpy).
+All functions operate on mono float arrays.
 """
 
 from __future__ import annotations
-
-
 
 from typing import Tuple
 
 import numpy as np
 
-from ..dsp.mel import melscale_fbanks
+from . import librosa_compat as lc
 
 _EPS = 1e-8
 
 
 def stft_mag(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
-    """Magnitude STFT [freq, frames] with centered Hann frames."""
-    if x.size < n_fft:
-        x = np.pad(x, (0, n_fft - x.size))
-    pad = n_fft // 2
-    xp = np.pad(x, (pad, pad), mode="reflect")
-    n = (xp.size - n_fft) // hop + 1
-    idx = (np.arange(n)[:, None] * hop) + np.arange(n_fft)[None, :]
-    frames = xp[idx] * np.hanning(n_fft)[None, :]
-    return np.abs(np.fft.rfft(frames, axis=-1)).T
+    """Magnitude STFT [freq, frames], librosa semantics (centered frames,
+    periodic Hann, zero padding)."""
+    return lc.stft_mag(x, n_fft, hop)
 
 
 def _pair(orig: np.ndarray, recon: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     n = min(orig.size, recon.size)
-    return orig[:n].astype(np.float64), recon[:n].astype(np.float64)
+    return (np.asarray(orig).reshape(-1)[:n].astype(np.float64),
+            np.asarray(recon).reshape(-1)[:n].astype(np.float64))
+
+
+def spectral_mse(orig: np.ndarray, recon: np.ndarray,
+                 n_fft: int = 2048, hop: int = 512) -> float:
+    """MSE of *linear* STFT magnitudes — the reference's ``spectral_loss``
+    (reference 3470-3473: ``np.mean((|stft(o)| - |stft(r)|)**2)``)."""
+    o, r = _pair(orig, recon)
+    so, sr_ = lc.stft_mag(o, n_fft, hop), lc.stft_mag(r, n_fft, hop)
+    t = min(so.shape[1], sr_.shape[1])
+    return float(np.mean((so[:, :t] - sr_[:, :t]) ** 2))
 
 
 def spectral_l1(orig: np.ndarray, recon: np.ndarray,
                 sample_rate: int, n_fft: int = 2048, hop: int = 512) -> float:
-    """L1 distance between log-magnitude spectrograms."""
+    """L1 distance between log-magnitude spectrograms (kept as an extra
+    diagnostic; the evaluator's ``spectral_loss`` field uses
+    :func:`spectral_mse` for reference parity)."""
     o, r = _pair(orig, recon)
-    so, sr_ = stft_mag(o, n_fft, hop), stft_mag(r, n_fft, hop)
+    so, sr_ = lc.stft_mag(o, n_fft, hop), lc.stft_mag(r, n_fft, hop)
     t = min(so.shape[1], sr_.shape[1])
     return float(np.mean(np.abs(np.log(so[:, :t] + _EPS)
                                 - np.log(sr_[:, :t] + _EPS))))
@@ -49,171 +58,139 @@ def spectral_l1(orig: np.ndarray, recon: np.ndarray,
 
 def mr_stft_loss(orig: np.ndarray, recon: np.ndarray) -> float:
     """Multi-resolution STFT loss over (512,128)/(1024,256)/(2048,512):
-    spectral convergence + log-magnitude L1 per resolution, averaged."""
+    per scale, linear-magnitude MSE + log-magnitude (eps 1e-7) MSE,
+    averaged over scales (reference 3527-3553)."""
     o, r = _pair(orig, recon)
     total = 0.0
     resolutions = ((512, 128), (1024, 256), (2048, 512))
     for n_fft, hop in resolutions:
-        so, sr_ = stft_mag(o, n_fft, hop), stft_mag(r, n_fft, hop)
+        so, sr_ = lc.stft_mag(o, n_fft, hop), lc.stft_mag(r, n_fft, hop)
         t = min(so.shape[1], sr_.shape[1])
         so, sr_ = so[:, :t], sr_[:, :t]
-        sc = np.linalg.norm(so - sr_) / (np.linalg.norm(so) + _EPS)
-        log_l1 = np.mean(np.abs(np.log(so + _EPS) - np.log(sr_ + _EPS)))
-        total += sc + log_l1
+        mag_loss = np.mean((so - sr_) ** 2)
+        log_loss = np.mean((np.log(so + 1e-7) - np.log(sr_ + 1e-7)) ** 2)
+        total += mag_loss + log_loss
     return float(total / len(resolutions))
 
 
 def log_spectral_distance(orig: np.ndarray, recon: np.ndarray,
                           n_fft: int = 2048, hop: int = 512) -> float:
-    """Frame-wise RMS of log-power spectrum differences (dB-like)."""
+    """Global RMS of log10 power-spectrum differences (reference
+    3555-3575: ``sqrt(mean((log10(P_o+1e-10) - log10(P_r+1e-10))**2))``)."""
     o, r = _pair(orig, recon)
-    so, sr_ = stft_mag(o, n_fft, hop), stft_mag(r, n_fft, hop)
+    so, sr_ = lc.stft_mag(o, n_fft, hop), lc.stft_mag(r, n_fft, hop)
     t = min(so.shape[1], sr_.shape[1])
-    diff = (10.0 * np.log10(so[:, :t] ** 2 + _EPS)
-            - 10.0 * np.log10(sr_[:, :t] ** 2 + _EPS))
-    return float(np.mean(np.sqrt(np.mean(diff ** 2, axis=0))))
-
-
-def _mel_spec(x: np.ndarray, sample_rate: int, n_mels: int = 64,
-              n_fft: int = 2048, hop: int = 512) -> np.ndarray:
-    mag = stft_mag(x, n_fft, hop)
-    fb = melscale_fbanks(n_fft // 2 + 1, 0.0, sample_rate / 2, n_mels,
-                         sample_rate)
-    return fb.T @ (mag ** 2)
+    diff = (np.log10(so[:, :t] ** 2 + 1e-10)
+            - np.log10(sr_[:, :t] ** 2 + 1e-10))
+    return float(np.sqrt(np.mean(diff ** 2)))
 
 
 def perceptual_loss(orig: np.ndarray, recon: np.ndarray,
                     sample_rate: int) -> float:
-    """Log-mel-domain L2 (the reference's perceptual proxy)."""
+    """MSE of default-parameter MFCCs (n_mfcc=20) — the reference's
+    perceptual proxy (3481-3484: ``np.mean((mfcc(o) - mfcc(r))**2)``)."""
     o, r = _pair(orig, recon)
-    mo, mr = _mel_spec(o, sample_rate), _mel_spec(r, sample_rate)
+    mo, mr = lc.mfcc(o, sample_rate), lc.mfcc(r, sample_rate)
     t = min(mo.shape[1], mr.shape[1])
-    return float(np.mean((np.log(mo[:, :t] + _EPS)
-                          - np.log(mr[:, :t] + _EPS)) ** 2))
+    return float(np.mean((mo[:, :t] - mr[:, :t]) ** 2))
 
 
-def dominant_pitch_track(x: np.ndarray, sample_rate: int,
-                         n_fft: int = 2048, hop: int = 512,
-                         fmin: float = 50.0, fmax: float = 2000.0) -> np.ndarray:
-    """Per-frame dominant pitch in Hz via spectral-peak quadratic
-    interpolation (librosa.piptrack dominant-pitch stand-in)."""
-    mag = stft_mag(x, n_fft, hop)
-    freqs = np.fft.rfftfreq(n_fft, 1.0 / sample_rate)
-    band = (freqs >= fmin) & (freqs <= fmax)
-    sub = mag[band]
-    base = np.nonzero(band)[0][0]
-    peak = np.argmax(sub, axis=0)
-    # quadratic interpolation around the peak bin
-    k = np.clip(peak, 1, sub.shape[0] - 2)
-    cols = np.arange(sub.shape[1])
-    alpha, beta, gamma = sub[k - 1, cols], sub[k, cols], sub[k + 1, cols]
-    denom = alpha - 2 * beta + gamma
-    delta = np.where(np.abs(denom) > _EPS,
-                     0.5 * (alpha - gamma) / (denom + _EPS), 0.0)
-    bin_f = base + k + np.clip(delta, -0.5, 0.5)
-    pitch = bin_f * sample_rate / n_fft
-    # silence gating
-    energy = sub[k, cols]
-    pitch[energy < np.max(energy) * 1e-3] = 0.0
-    return pitch
+def dominant_pitch_track(x: np.ndarray, sample_rate: int) -> np.ndarray:
+    """Per-frame dominant pitch (Hz): the maximum entry of each piptrack
+    frame column — exactly the reference's ``frame[frame.argmax()]``
+    selection (3650-3652) over librosa.piptrack output."""
+    pitches, _ = lc.piptrack(np.asarray(x, np.float64), sample_rate)
+    return pitches.max(axis=0)
 
 
 def pitch_accuracy(orig: np.ndarray, recon: np.ndarray,
                    sample_rate: int) -> float:
-    """Correlation of dominant-pitch tracks, mapped to [0, 1]."""
+    """Pearson correlation of dominant-pitch tracks (reference 3639-3673:
+    raw correlation; 0.0 on degenerate/constant/non-finite tracks)."""
     o, r = _pair(orig, recon)
     po = dominant_pitch_track(o, sample_rate)
     pr = dominant_pitch_track(r, sample_rate)
     t = min(po.size, pr.size)
-    po, pr = po[:t], pr[:t]
-    voiced = (po > 0) & (pr > 0)
-    if voiced.sum() < 4:
+    if t < 2:
         return 0.0
-    if np.std(po[voiced]) < _EPS or np.std(pr[voiced]) < _EPS:
-        # Constant pitch on both sides: compare values directly
-        return float(np.mean(
-            np.abs(po[voiced] - pr[voiced]) < 0.05 * po[voiced]))
-    corr = np.corrcoef(po[voiced], pr[voiced])[0, 1]
-    return float(max(0.0, corr)) if np.isfinite(corr) else 0.0
+    po, pr = po[:t], pr[:t]
+    if (np.std(po) == 0 or np.std(pr) == 0
+            or not np.all(np.isfinite(po)) or not np.all(np.isfinite(pr))):
+        return 0.0
+    corr = np.corrcoef(po, pr)[0, 1]
+    return float(corr) if np.isfinite(corr) else 0.0
 
 
 def onset_strength(x: np.ndarray, sample_rate: int,
                    hop: int = 512) -> np.ndarray:
-    """Spectral-flux onset envelope (librosa.onset stand-in)."""
-    mel = np.log(_mel_spec(x, sample_rate, n_mels=64, hop=hop) + _EPS)
-    flux = np.diff(mel, axis=1)
-    return np.maximum(flux, 0.0).mean(axis=0)
+    """Spectral-flux onset envelope (librosa.onset.onset_strength)."""
+    return lc.onset_strength(np.asarray(x, np.float64), sample_rate, hop)
 
 
 def detect_onsets(x: np.ndarray, sample_rate: int, hop: int = 512) -> np.ndarray:
-    """Onset frame indices via adaptive peak picking on the flux envelope."""
-    env = onset_strength(x, sample_rate, hop)
-    if env.size < 3:
-        return np.array([], dtype=int)
-    thresh = env.mean() + env.std()
-    peaks = []
-    last = -4
-    for i in range(1, env.size - 1):
-        if env[i] > thresh and env[i] >= env[i - 1] and env[i] >= env[i + 1]:
-            if i - last >= 4:  # ~46 ms refractory at hop 512 / 22.05 kHz
-                peaks.append(i)
-                last = i
-    return np.asarray(peaks, dtype=int)
+    """Onset frame indices (librosa.onset.onset_detect defaults)."""
+    return lc.onset_detect(np.asarray(x, np.float64), sample_rate, hop)
 
 
 def rhythm_accuracy(orig: np.ndarray, recon: np.ndarray,
                     sample_rate: int) -> float:
-    """Correlation of inter-onset-interval sequences, mapped to [0, 1]."""
+    """Pearson correlation of inter-onset-interval sequences (reference
+    3675-3711: onset times via onset_detect(units='time'), raw correlation,
+    0.0 when onsets/intervals are too few or degenerate)."""
     o, r = _pair(orig, recon)
-    oo, ro = detect_onsets(o, sample_rate), detect_onsets(r, sample_rate)
-    if len(oo) < 3 or len(ro) < 3:
-        # Degenerate: score onset-count agreement instead
-        denom = max(len(oo), len(ro), 1)
-        return float(min(len(oo), len(ro)) / denom)
+    oo = lc.onset_detect(o, sample_rate, units="time")
+    ro = lc.onset_detect(r, sample_rate, units="time")
+    if len(oo) < 2 or len(ro) < 2:
+        return 0.0
     io, ir = np.diff(oo), np.diff(ro)
     n = min(io.size, ir.size)
-    if n < 2 or np.std(io[:n]) < _EPS or np.std(ir[:n]) < _EPS:
-        return float(min(io.size, ir.size) / max(io.size, ir.size))
-    corr = np.corrcoef(io[:n], ir[:n])[0, 1]
-    return float(max(0.0, corr)) if np.isfinite(corr) else 0.0
+    if n < 2:
+        return 0.0
+    io, ir = io[:n], ir[:n]
+    if (np.std(io) == 0 or np.std(ir) == 0
+            or not np.all(np.isfinite(io)) or not np.all(np.isfinite(ir))):
+        return 0.0
+    corr = np.corrcoef(io, ir)[0, 1]
+    return float(corr) if np.isfinite(corr) else 0.0
 
 
-def mfcc(x: np.ndarray, sample_rate: int, n_mfcc: int = 13,
-         n_mels: int = 64) -> np.ndarray:
-    """MFCCs [n_mfcc, frames] via log-mel + orthonormal DCT-II."""
-    logmel = np.log(_mel_spec(x, sample_rate, n_mels=n_mels) + _EPS)
-    n = logmel.shape[0]
-    k = np.arange(n_mfcc)[:, None]
-    m = np.arange(n)[None, :]
-    dct = np.cos(np.pi * k * (2 * m + 1) / (2 * n)) * np.sqrt(2.0 / n)
-    dct[0] /= np.sqrt(2.0)
-    return dct @ logmel
+def mfcc(x: np.ndarray, sample_rate: int, n_mfcc: int = 13) -> np.ndarray:
+    """MFCCs [n_mfcc, frames], librosa.feature.mfcc semantics."""
+    return lc.mfcc(np.asarray(x, np.float64), sample_rate, n_mfcc=n_mfcc)
 
 
 def timbral_similarity(orig: np.ndarray, recon: np.ndarray,
                        sample_rate: int) -> float:
-    """Cosine similarity of time-averaged MFCC vectors, mapped to [0, 1]."""
+    """Cosine similarity of time-averaged 13-MFCC vectors (reference
+    3713-3732: raw cosine, eps 1e-8 in the denominator)."""
     o, r = _pair(orig, recon)
-    mo = mfcc(o, sample_rate).mean(axis=1)
-    mr = mfcc(r, sample_rate).mean(axis=1)
-    denom = (np.linalg.norm(mo) * np.linalg.norm(mr)) + _EPS
-    return float(np.clip((np.dot(mo, mr) / denom + 1.0) / 2.0, 0.0, 1.0))
+    mo = lc.mfcc(o, sample_rate, n_mfcc=13).mean(axis=1)
+    mr = lc.mfcc(r, sample_rate, n_mfcc=13).mean(axis=1)
+    sim = np.dot(mo, mr) / (np.linalg.norm(mo) * np.linalg.norm(mr) + _EPS)
+    return float(sim) if np.isfinite(sim) else 0.0
+
+
+def _mel_spec(x: np.ndarray, sample_rate: int, n_mels: int = 128,
+              n_fft: int = 2048, hop: int = 512) -> np.ndarray:
+    """Power mel spectrogram [n_mels, frames] (librosa semantics)."""
+    return lc.melspectrogram(np.asarray(x, np.float64), sample_rate,
+                             n_fft, hop, n_mels)
 
 
 def spectral_centroid(x: np.ndarray, sample_rate: int,
                       n_fft: int = 2048, hop: int = 512) -> np.ndarray:
-    mag = stft_mag(x, n_fft, hop)
-    freqs = np.fft.rfftfreq(n_fft, 1.0 / sample_rate)[:, None]
+    mag = lc.stft_mag(x, n_fft, hop)
+    freqs = lc.fft_frequencies(sample_rate, n_fft)[:, None]
     return (freqs * mag).sum(axis=0) / (mag.sum(axis=0) + _EPS)
 
 
 def spectral_rolloff(x: np.ndarray, sample_rate: int, roll: float = 0.85,
                      n_fft: int = 2048, hop: int = 512) -> np.ndarray:
-    mag = stft_mag(x, n_fft, hop)
+    mag = lc.stft_mag(x, n_fft, hop)
     cum = np.cumsum(mag, axis=0)
     target = roll * cum[-1]
     idx = (cum >= target[None, :]).argmax(axis=0)
-    return np.fft.rfftfreq(n_fft, 1.0 / sample_rate)[idx]
+    return lc.fft_frequencies(sample_rate, n_fft)[idx]
 
 
 def zero_crossing_rate(x: np.ndarray, frame: int = 2048,

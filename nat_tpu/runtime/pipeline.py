@@ -695,9 +695,13 @@ class AudioTokenizationPipeline:
             "acoustic_codes": [acc_codes[i] for i in range(acc_codes.shape[0])],
         }
         self.evaluator.sample_rate = sr
+        # ``buf`` holds only the last span's window by EOF (earlier samples
+        # were trimmed as spans completed) — the true sample count must be
+        # passed explicitly or compression_ratio reflects the tail only.
         metrics = self.evaluator.evaluate_tokenization(
             np.asarray(buf), self.tokenizer, None,
-            precomputed_result=result, encoding_time=encoding_time)
+            precomputed_result=result, encoding_time=encoding_time,
+            num_samples=total)
         budget_metrics = self.budget_meter.get_metrics()
         stats = {**asdict(metrics), **asdict(budget_metrics)}
         if sha:

@@ -4,9 +4,23 @@ tool's neural path + evaluator on hosts without librosa.
 Implements the call surface the reference uses (stft, piptrack,
 onset.onset_detect, feature.*, power/amplitude_to_db, resample); load()
 raises so the reference's loader ladder falls through to raw-PCM.
+
+The DSP is served by nat_tpu.eval.librosa_compat — the SAME librosa-
+faithful implementations the nat-tpu evaluator uses — so differential
+runs of the reference evaluator produce metric *values* directly
+comparable with nat-tpu's (tests/test_metric_value_parity.py).
 """
 
+import sys
+from pathlib import Path
+
 import numpy as np
+
+_REPO = Path(__file__).resolve().parents[3]
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from nat_tpu.eval import librosa_compat as _lc  # noqa: E402
 
 
 def load(*a, **k):
@@ -14,25 +28,12 @@ def load(*a, **k):
 
 
 def stft(y, n_fft=2048, hop_length=None, **_k):
-    hop_length = hop_length or n_fft // 4
-    y = np.asarray(y, dtype=np.float64)
-    if y.size < n_fft:
-        y = np.pad(y, (0, n_fft - y.size))
-    pad = n_fft // 2
-    yp = np.pad(y, (pad, pad), mode="reflect")
-    n = (yp.size - n_fft) // hop_length + 1
-    idx = (np.arange(n)[:, None] * hop_length) + np.arange(n_fft)[None, :]
-    frames = yp[idx] * np.hanning(n_fft)[None, :]
-    return np.fft.rfft(frames, axis=-1).T
+    return _lc.stft(np.asarray(y, dtype=np.float64), n_fft, hop_length)
 
 
 def power_to_db(s, ref=1.0, amin=1e-10, top_db=80.0):
     ref_value = ref(s) if callable(ref) else ref
-    log_spec = 10.0 * np.log10(np.maximum(amin, s))
-    log_spec -= 10.0 * np.log10(np.maximum(amin, ref_value))
-    if top_db is not None:
-        log_spec = np.maximum(log_spec, log_spec.max() - top_db)
-    return log_spec
+    return _lc.power_to_db(np.asarray(s), ref_value, amin, top_db)
 
 
 def amplitude_to_db(s, **k):
@@ -53,85 +54,41 @@ def resample(y, orig_sr=22050, target_sr=22050, **_k):
 
 
 def piptrack(y=None, sr=22050, n_fft=2048, hop_length=None, **_k):
-    hop_length = hop_length or n_fft // 4
-    s = np.abs(stft(y, n_fft=n_fft, hop_length=hop_length))
-    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
-    pitches = np.zeros_like(s)
-    mags = np.zeros_like(s)
-    peak = np.argmax(s, axis=0)
-    cols = np.arange(s.shape[1])
-    pitches[peak, cols] = freqs[peak]
-    mags[peak, cols] = s[peak, cols]
-    return pitches, mags
+    return _lc.piptrack(np.asarray(y, dtype=np.float64), sr, n_fft,
+                        hop_length)
 
 
 class onset:  # namespace stand-in
     @staticmethod
     def onset_detect(y=None, sr=22050, hop_length=512, units="frames", **_k):
-        s = np.abs(stft(y, n_fft=2048, hop_length=hop_length))
-        logmel = np.log(s + 1e-10)
-        flux = np.maximum(np.diff(logmel, axis=1), 0.0).mean(axis=0)
-        if flux.size < 3:
-            return np.array([], dtype=int)
-        thresh = flux.mean() + flux.std()
-        peaks, last = [], -4
-        for i in range(1, flux.size - 1):
-            if (flux[i] > thresh and flux[i] >= flux[i - 1]
-                    and flux[i] >= flux[i + 1] and i - last >= 4):
-                peaks.append(i)
-                last = i
-        frames = np.asarray(peaks, dtype=int)
-        if units == "time":
-            return frames * hop_length / sr
-        return frames
+        return _lc.onset_detect(np.asarray(y, dtype=np.float64), sr,
+                                hop_length, units=units)
 
 
 class feature:  # namespace stand-in
     @staticmethod
     def melspectrogram(y=None, sr=22050, n_fft=2048, hop_length=512,
                        n_mels=128, **_k):
-        s = np.abs(stft(y, n_fft=n_fft, hop_length=hop_length)) ** 2
-        # HTK-style triangular filterbank
-        def hz_to_mel(f):
-            return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
-
-        def mel_to_hz(m):
-            return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
-
-        n_freqs = n_fft // 2 + 1
-        all_freqs = np.linspace(0, sr / 2, n_freqs)
-        m_pts = np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2), n_mels + 2)
-        f_pts = mel_to_hz(m_pts)
-        f_diff = f_pts[1:] - f_pts[:-1]
-        slopes = f_pts[None, :] - all_freqs[:, None]
-        down = -slopes[:, :-2] / f_diff[:-1]
-        up = slopes[:, 2:] / f_diff[1:]
-        fb = np.maximum(0.0, np.minimum(down, up))
-        return fb.T @ s
+        return _lc.melspectrogram(np.asarray(y, dtype=np.float64), sr,
+                                  n_fft, hop_length, n_mels)
 
     @staticmethod
-    def mfcc(y=None, sr=22050, n_mfcc=13, **_k):
-        logmel = np.log(feature.melspectrogram(y=y, sr=sr, n_mels=64) + 1e-10)
-        n = logmel.shape[0]
-        k = np.arange(n_mfcc)[:, None]
-        m = np.arange(n)[None, :]
-        dct = np.cos(np.pi * k * (2 * m + 1) / (2 * n)) * np.sqrt(2.0 / n)
-        dct[0] /= np.sqrt(2.0)
-        return dct @ logmel
+    def mfcc(y=None, sr=22050, n_mfcc=20, **_k):
+        return _lc.mfcc(np.asarray(y, dtype=np.float64), sr, n_mfcc=n_mfcc)
 
     @staticmethod
     def spectral_centroid(y=None, sr=22050, n_fft=2048, hop_length=512, **_k):
-        s = np.abs(stft(y, n_fft=n_fft, hop_length=hop_length))
-        freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)[:, None]
+        s = _lc.stft_mag(np.asarray(y, dtype=np.float64), n_fft, hop_length)
+        freqs = _lc.fft_frequencies(sr, n_fft)[:, None]
         return ((freqs * s).sum(axis=0) / (s.sum(axis=0) + 1e-10))[None, :]
 
     @staticmethod
     def spectral_rolloff(y=None, sr=22050, n_fft=2048, hop_length=512,
                          roll_percent=0.85, **_k):
-        s = np.abs(stft(y, n_fft=n_fft, hop_length=hop_length))
+        s = _lc.stft_mag(np.asarray(y, dtype=np.float64), n_fft, hop_length)
         cum = np.cumsum(s, axis=0)
         idx = (cum >= roll_percent * cum[-1][None, :]).argmax(axis=0)
-        return np.fft.rfftfreq(n_fft, 1.0 / sr)[idx][None, :]
+        return _lc.fft_frequencies(sr, n_fft)[idx][None, :]
 
     @staticmethod
     def zero_crossing_rate(y, frame_length=2048, hop_length=512, **_k):

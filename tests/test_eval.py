@@ -27,8 +27,9 @@ def _clicks(period_s, dur=2.0, sr=SR):
 
 class TestInfoMetrics:
     def test_entropy_uniform(self):
+        # nats (scipy.stats.entropy semantics, reference 3577-3584)
         tokens = np.arange(256)
-        assert shannon_entropy(tokens) == pytest.approx(8.0)
+        assert shannon_entropy(tokens) == pytest.approx(np.log(256))
 
     def test_entropy_constant(self):
         assert shannon_entropy(np.zeros(100, dtype=int)) == 0.0

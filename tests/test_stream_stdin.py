@@ -377,6 +377,18 @@ class TestPipelineStreamStdin:
                              buffered["acoustic_codes"]):
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+        # metrics are computed from the TRUE sample count, not the trimmed
+        # tail buffer (multi-span stream; regression: VERDICT r2 weak #4)
+        total_tokens = sum(np.asarray(c).size
+                           for c in result["semantic_codes"])
+        total_tokens += sum(np.asarray(c).size
+                            for c in result["acoustic_codes"])
+        expected_ratio = raw_audio.size / total_tokens
+        assert result["metrics"].compression_ratio == pytest.approx(
+            expected_ratio)
+        assert json.loads(lines[-1])["stats"]["compression_ratio"] == \
+            pytest.approx(expected_ratio)
+
     def test_short_input_single_span(self, pipeline):
         data, _ = _wav_bytes(seconds=1.0, sr=8000)
         raw_audio, _ = decode_wav(data)
