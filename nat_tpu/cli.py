@@ -490,30 +490,45 @@ def _execute(args, parser, pipeline, input_files: List[str],
              default_mode: bool, enable_reconstruction: bool) -> int:
     multi_input = len(input_files) > 1
 
-    # Case A: batch save-to-dir (explicit --all-outputs / --output-dir)
+    # Case A: batch save-to-dir (explicit --all-outputs / --output-dir).
+    # On a multi-host pod (or with NAT_TPU_PROCESS_INDEX/COUNT overrides)
+    # each host processes a disjoint stride of the file list; metric
+    # aggregates merge across hosts over DCN (parallel/fanout.py).
     if (args.batch or multi_input) and (args.all_outputs or args.output_dir):
         if not args.output_dir:
             parser.error("--output-dir is required when using --all-outputs "
                          "with multiple inputs")
+        from .parallel import fanout
+
+        proc_idx, proc_count = fanout.process_topology()
+        local_files = fanout.shard_paths(input_files)
+        if proc_count > 1:
+            logger.info(f"Multi-host fan-out: host {proc_idx}/{proc_count} "
+                        f"processing {len(local_files)}/{len(input_files)} "
+                        "file(s)")
         results = pipeline.batch_process(
-            input_files, args.output_dir, args.format,
+            local_files, args.output_dir, args.format,
             sequential_vis=args.seq_vis)
         successful = [r for r in results if "error" not in r]
-        if args.metrics and successful:
-            agg: Dict[str, float] = {}
-            for key_source in ("metrics", "budget_metrics"):
-                for key in asdict(successful[0][key_source]):
-                    values = [asdict(r[key_source])[key] for r in successful
-                              if isinstance(asdict(r[key_source])[key], (int, float))]
-                    if values:
-                        agg[f"avg_{key}"] = sum(values) / len(values)
-                        agg[f"min_{key}"] = min(values)
-                        agg[f"max_{key}"] = max(values)
-            if pipeline.compat_mode:
+        if args.metrics and (successful or proc_count > 1):
+            from .eval.budget import TokenBudgetMetrics
+            from .eval.metrics import TokenizationMetrics
+            import dataclasses
+
+            per_file = [{**asdict(r["metrics"]), **asdict(r["budget_metrics"])}
+                        for r in successful]
+            canonical = [f.name for f in
+                         dataclasses.fields(TokenizationMetrics)
+                         + dataclasses.fields(TokenBudgetMetrics)]
+            merged = fanout.gather_stats(fanout.local_stats(per_file),
+                                         keys=canonical)
+            agg: Dict[str, float] = fanout.finalize_stats(merged)
+            if agg and pipeline.compat_mode:
                 agg["compat_mode"] = True
                 agg["warning"] = ("Metrics from compatibility mode - tokens not "
                                   "from trained quantizers")
-            Path(args.metrics).write_text(json.dumps(agg, indent=2))
+            if agg and proc_idx == 0:
+                Path(args.metrics).write_text(json.dumps(agg, indent=2))
         return 0
 
     # Incremental emission applies when NDJSON goes straight to stdout and

@@ -61,6 +61,43 @@ class SpanMeta(NamedTuple):
     bucket: int      # padded bucket length
 
 
+class _AotForwardDispatch:
+    """Shape-specialized executable dispatch for one (sr, bucket) forward.
+
+    The wrapped ``jax.jit`` function is the compile path; when the
+    cross-process AOT executable cache is enabled
+    (:mod:`nat_tpu.runtime.aotcache`), each batch shape resolves to a
+    deserialized precompiled executable instead — skipping minutes of XLA
+    compile on warm cold-starts.  Any cache failure falls back to the jit
+    path transparently.
+    """
+
+    def __init__(self, jitted, config: Dict[str, Any]) -> None:
+        self.jitted = jitted
+        self.config = config
+        self._compiled: Dict[tuple, Any] = {}
+
+    def __call__(self, params, sem_rvq, acc_rvq, wave, rng):
+        from ..runtime import aotcache
+
+        if not aotcache.cache_enabled():
+            return self.jitted(params, sem_rvq, acc_rvq, wave, rng)
+        shape = tuple(wave.shape)
+        exe = self._compiled.get(shape)
+        if exe is None:
+            try:
+                exe = aotcache.load_or_compile(
+                    self.jitted, self.config,
+                    (params, sem_rvq, acc_rvq, wave, rng))
+            except Exception as exc:
+                from ..utils.logging import logger
+
+                logger.debug(f"AOT path failed ({exc}); using jit")
+                exe = self.jitted
+            self._compiled[shape] = exe
+        return exe(params, sem_rvq, acc_rvq, wave, rng)
+
+
 class NeuralAudioTokenizer:
     """Dual-path neural tokenizer with explicit init / pure forward."""
 
@@ -161,9 +198,79 @@ class NeuralAudioTokenizer:
     # ------------------------------------------------------------------
     # Initialization phase
     # ------------------------------------------------------------------
+    def _init_cache_config(self, use_w2v2: bool) -> Dict[str, Any]:
+        """Everything the init params depend on (for the param cache key)."""
+        return dict(
+            seed=self.seed, sample_rate=self.sample_rate,
+            semantic_dim=self.semantic_dim, acoustic_dim=self.acoustic_dim,
+            n_mels=self.n_mels, hop_length=self.hop_length,
+            reconstruction=self.enable_reconstruction,
+            compute_dtype=self.compute_dtype,
+            arch="wav2vec2" if use_w2v2 else "spectral",
+            arch_config=self.semantic_arch_config,
+        )
+
+    def _build_semantic_encoder(self, use_w2v2: bool) -> None:
+        if use_w2v2:
+            self.semantic_encoder = SemanticAudioEncoder(
+                output_dim=self.semantic_dim,
+                dtype=(jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                       else jnp.float32),
+                arch=self.semantic_arch_config)
+        else:
+            self.semantic_encoder = SpectralFallbackEncoder(
+                output_dim=self.semantic_dim)
+            self.semantic_fallback = True
+
     def ensure_initialized(self) -> None:
         if self.params is not None:
             return
+        from ..utils.warmup import start_backend_warmup
+
+        # Overlap the backend's first-use handshake (tens of seconds on
+        # tunneled drivers) with the host-side init work below.
+        start_backend_warmup()
+
+        # Cheap architecture resolution: checkpoint *presence* decides the
+        # encoder (parsing/conversion happens only on a param-cache miss).
+        from ..runtime import paramcache
+
+        ckpt_path = None
+        if self.semantic_arch != "spectral" and self.use_pretrained_semantic:
+            try:
+                from ..quant import checkpoint_io
+
+                ckpt_path = checkpoint_io.find_local_checkpoint(
+                    "facebook/wav2vec2-base")
+            except Exception:
+                ckpt_path = None
+        predicted_w2v2 = (
+            self.semantic_arch == "wav2vec2"
+            or (self.semantic_arch == "auto" and ckpt_path is not None))
+
+        cache_key = None
+        if paramcache.cache_enabled():
+            cache_key = paramcache.params_key(
+                self._init_cache_config(predicted_w2v2),
+                paramcache.checkpoint_identity(ckpt_path))
+            cached = paramcache.load_params(cache_key)
+            if cached is not None:
+                self._build_semantic_encoder(predicted_w2v2)
+                if predicted_w2v2 and ckpt_path is not None:
+                    logger.info("Semantic encoder: pretrained wav2vec2-base "
+                                "weights (cached init)")
+                elif predicted_w2v2:
+                    logger.warn("Semantic encoder: wav2vec2 architecture "
+                                "with random-init weights (no checkpoint "
+                                "available)")
+                elif (self.semantic_arch == "auto"
+                      and self.use_pretrained_semantic):
+                    logger.warn("wav2vec2 checkpoint unavailable; using "
+                                "spectral fallback semantic encoder")
+                self.params = cached
+                self._seed_initial_codebooks()
+                return
+
         rng = jax.random.PRNGKey(self.seed)
         r_mel, r_sem, r_ts, r_ta, r_dec, r_fb = jax.random.split(rng, 6)
         # Minimal init shapes: params are shape-independent of the time axis,
@@ -184,12 +291,8 @@ class NeuralAudioTokenizer:
             pretrained = load_pretrained_semantic_params()
         use_w2v2 = (self.semantic_arch == "wav2vec2"
                     or (self.semantic_arch == "auto" and pretrained is not None))
+        self._build_semantic_encoder(use_w2v2)
         if use_w2v2:
-            self.semantic_encoder = SemanticAudioEncoder(
-                output_dim=self.semantic_dim,
-                dtype=(jnp.bfloat16 if self.compute_dtype == "bfloat16"
-                       else jnp.float32),
-                arch=self.semantic_arch_config)
             init_params = jax.jit(self.semantic_encoder.init)(
                 r_sem, dummy16)["params"]
             if pretrained is not None:
@@ -203,9 +306,6 @@ class NeuralAudioTokenizer:
             if self.semantic_arch == "auto" and self.use_pretrained_semantic:
                 logger.warn("wav2vec2 checkpoint unavailable; using spectral "
                             "fallback semantic encoder")
-            self.semantic_encoder = SpectralFallbackEncoder(
-                output_dim=self.semantic_dim)
-            self.semantic_fallback = True
             params["semantic_encoder"] = jax.jit(self.semantic_encoder.init)(
                 r_fb, dummy16)["params"]
 
@@ -221,7 +321,11 @@ class NeuralAudioTokenizer:
                 self.decoder.init, static_argnums=2)(
                     r_dec, d_dummy, 256)["params"]
         self.params = params
+        if cache_key is not None and use_w2v2 == predicted_w2v2:
+            paramcache.save_params(cache_key, params)
+        self._seed_initial_codebooks()
 
+    def _seed_initial_codebooks(self) -> None:
         # Codebook seeding (explicit, cached; reference seeds 42 / 123).
         # Feature-driven methods ("encodec-kmeans", "kmeans") need input
         # audio: probe the cache here, defer actual seeding to the first
@@ -466,11 +570,16 @@ class NeuralAudioTokenizer:
                     seed_a = jax.random.randint(rng_a, (), 0, 2**31 - 1)
                 else:
                     temp, seed_s, seed_a = None, None, None
-                sem_codes, sem_q = rvq_encode_pallas(
+                sem_codes, sem_q, sem_losses = rvq_encode_pallas(
                     sem_rvq, sem_a, temperature=temp, seed=seed_s)
-                acc_codes, acc_q = rvq_encode_pallas(
+                acc_codes, acc_q, acc_losses = rvq_encode_pallas(
                     acc_rvq, acc_a, temperature=temp, seed=seed_a)
-                losses = {"total_vq_loss": jnp.float32(0.0)}
+                losses = {
+                    "semantic_vq_loss": sem_losses["total_vq_loss"],
+                    "acoustic_vq_loss": acc_losses["total_vq_loss"],
+                    "total_vq_loss": (sem_losses["total_vq_loss"]
+                                      + acc_losses["total_vq_loss"]),
+                }
             else:
                 sem_codes, sem_q, sem_losses = rvq_encode(
                     sem_rvq, sem_a, temperature=self.temperature,
@@ -505,10 +614,28 @@ class NeuralAudioTokenizer:
 
         return forward, t_target
 
+    def _aot_config(self, sr: int, bucket: int) -> Dict[str, Any]:
+        """Everything the compiled forward depends on beyond arg shapes
+        (cache key input for :mod:`nat_tpu.runtime.aotcache`)."""
+        return dict(
+            sr=sr, bucket=bucket, sample_rate=self.sample_rate,
+            semantic_dim=self.semantic_dim, acoustic_dim=self.acoustic_dim,
+            n_mels=self.n_mels, hop_length=self.hop_length,
+            reconstruction=self.enable_reconstruction,
+            timebase=self.timebase, stochastic=self.stochastic,
+            temperature=self.temperature, use_pallas=self.use_pallas,
+            compute_dtype=self.compute_dtype,
+            arch=type(self.semantic_encoder).__name__,
+            arch_config=self.semantic_arch_config,
+        )
+
     def _forward_for(self, bucket: int, sample_rate: Optional[int] = None):
         key = (sample_rate or self.sample_rate, bucket)
         if key not in self._forward_cache:
-            self._forward_cache[key] = self._build_forward(bucket, key[0])
+            fwd, t_target = self._build_forward(bucket, key[0])
+            self._forward_cache[key] = (
+                _AotForwardDispatch(fwd, self._aot_config(key[0], bucket)),
+                t_target)
         return self._forward_cache[key]
 
     # ------------------------------------------------------------------

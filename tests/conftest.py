@@ -24,6 +24,10 @@ os.environ.setdefault(
     f"--xla_force_host_platform_device_count={_N_DEVICES}"
     " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
     " --xla_cpu_collective_timeout_seconds=1800")
+# Keep test runs from reading/writing the user-level param/executable
+# caches (tests cover the cache machinery explicitly with tmp dirs).
+os.environ.setdefault("NAT_TPU_PARAM_CACHE", "0")
+os.environ.setdefault("NAT_TPU_AOT_CACHE", "0")
 
 import jax
 
@@ -65,11 +69,14 @@ def simple_wav2() -> Path:
     return path
 
 
-def run_cli(args, stdin_bytes: bytes = b"", timeout: int = 120):
+def run_cli(args, stdin_bytes: bytes = b"", timeout: int = 120,
+            extra_env=None):
     """Run the CLI as a subprocess with CPU JAX, capturing streams separately."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # single virtual device is fine for CLI runs
+    if extra_env:
+        env.update(extra_env)
     cmd = [sys.executable, "-m", "nat_tpu"] + args
     result = subprocess.run(
         cmd, input=stdin_bytes, capture_output=True, timeout=timeout,
