@@ -185,6 +185,12 @@ Examples:
     # Advanced options
     parser.add_argument("--model-path", help="Path to pre-trained model weights")
     parser.add_argument("--config", help="Model configuration JSON file")
+    parser.add_argument(
+        "--fetch", nargs="?", const="default", metavar="MODELS",
+        help="Download pretrained checkpoints (sha256-verified) into the "
+             "local HF cache and exit. Default set: wav2vec2-base, "
+             "MERT-v1-95M, encodec_24khz; or a comma-separated repo list. "
+             "Honors HF_ENDPOINT.")
 
     # Logging
     parser.add_argument("--log-level", choices=["DEBUG", "INFO", "WARN", "ERROR"],
@@ -320,6 +326,28 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     logger.info(f"{BANNER} - MERT music-optimized codebook initialization")
     logger.debug(f"Log level: {log_level.value}; default mode: {default_mode}")
+
+    # Provisioning mode: download checkpoints and exit (reference
+    # self-provisions lazily on first run, 2320-2335/1988/2523-2543;
+    # nat-tpu makes it an explicit, verified step).
+    if args.fetch:
+        from .io.fetch import FetchError, fetch_models
+
+        # Provisioning is diagnostics-first, not an NDJSON stream: progress
+        # and errors must reach stderr regardless of default-mode detection.
+        set_default_mode(False)
+        if log_level == LogLevel.WARN:
+            set_log_level(LogLevel.INFO)
+        models = (None if args.fetch in ("default", "all")
+                  else [m.strip() for m in args.fetch.split(",") if m.strip()])
+        try:
+            fetched = fetch_models(models)
+        except FetchError as exc:
+            logger.error(str(exc))
+            return 1
+        for name, path in fetched.items():
+            logger.stdout(f"{name}\t{path}")
+        return 0
 
     # Cheap flag validation BEFORE the (expensive) pipeline construction.
     if args.decode_tokens and args.no_reconstruction:

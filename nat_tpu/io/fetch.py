@@ -1,0 +1,191 @@
+"""Pretrained-weight provisioning (``nat --fetch``).
+
+The reference self-provisions on first run: it downloads
+``facebook/wav2vec2-base`` (reference neural_audio_tokenizer.py:2320-2335),
+``m-a-p/MERT-v1-95M`` (:1988) and ``facebook/encodec_24khz`` (:2523-2543)
+through huggingface_hub.  nat-tpu reads local checkpoints only
+(quant/checkpoint_io.py), so this module is the explicit provisioning
+step: it populates the exact HF-cache snapshot layout
+``find_local_checkpoint`` resolves, using nothing but stdlib urllib —
+no hub client, no remote code, and **sha256-verified** downloads: the
+repo's git-LFS pointer file (fetched via ``/raw/``) carries the expected
+``oid sha256`` + size, the payload (fetched via ``/resolve/``) is hashed
+while streaming and rejected on mismatch.
+
+Endpoint: ``HF_ENDPOINT`` env (default https://huggingface.co) — also how
+the test suite serves a synthetic repo from localhost.  A clear,
+actionable error is raised when the endpoint is unreachable (offline
+machines: download elsewhere and drop the files into any directory
+``find_local_checkpoint`` scans, or set HF_HOME).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import tempfile
+import urllib.error
+import urllib.request
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+from ..utils.logging import logger
+
+#: Models the reference provisions, in its own load order.
+DEFAULT_MODELS = (
+    "facebook/wav2vec2-base",      # semantic encoder (reference 2320-2335)
+    "m-a-p/MERT-v1-95M",           # codebook seeding (reference 1988)
+    "facebook/encodec_24khz",      # EnCodec bridge (reference 2523-2543)
+)
+
+_WEIGHT_CANDIDATES = ("model.safetensors", "pytorch_model.bin")
+_AUX_FILES = ("config.json", "preprocessor_config.json")
+_LFS_RE = re.compile(
+    rb"oid sha256:(?P<sha>[0-9a-f]{64})\s+size (?P<size>\d+)")
+
+
+class FetchError(RuntimeError):
+    pass
+
+
+def endpoint() -> str:
+    return os.environ.get("HF_ENDPOINT", "https://huggingface.co").rstrip("/")
+
+
+def _hub_cache_root() -> Path:
+    for env in ("HF_HUB_CACHE", "HUGGINGFACE_HUB_CACHE"):
+        if os.environ.get(env):
+            return Path(os.environ[env])
+    home = Path(os.environ.get("HF_HOME",
+                               Path.home() / ".cache" / "huggingface"))
+    return home / "hub"
+
+
+def snapshot_dir(model_name: str) -> Path:
+    """The snapshot path ``checkpoint_io.find_local_checkpoint`` scans."""
+    repo_dir = "models--" + model_name.replace("/", "--")
+    return _hub_cache_root() / repo_dir / "snapshots" / "main"
+
+
+def _open(url: str, timeout: float):
+    req = urllib.request.Request(url, headers={"User-Agent": "nat-tpu"})
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def _get_bytes(url: str, timeout: float, max_bytes: int = 1 << 20) -> bytes:
+    with _open(url, timeout) as resp:
+        return resp.read(max_bytes)
+
+
+def _lfs_expectation(repo: str, filename: str,
+                     timeout: float) -> Optional[Tuple[str, int]]:
+    """(sha256, size) from the git-LFS pointer, or None for non-LFS files
+    (the /raw/ URL then returns the file itself)."""
+    try:
+        raw = _get_bytes(f"{endpoint()}/{repo}/raw/main/{filename}", timeout)
+    except urllib.error.HTTPError:
+        return None
+    m = _LFS_RE.search(raw)
+    if m:
+        return m.group("sha").decode(), int(m.group("size"))
+    return None
+
+
+def _download_verified(repo: str, filename: str, dest: Path,
+                       timeout: float) -> Path:
+    """Stream ``/resolve/main/<filename>`` to ``dest``, hashing on the fly;
+    verify against the LFS pointer's sha256/size when the file is LFS."""
+    expect = _lfs_expectation(repo, filename, timeout)
+    url = f"{endpoint()}/{repo}/resolve/main/{filename}"
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    sha = hashlib.sha256()
+    total = 0
+    fd, tmp = tempfile.mkstemp(dir=dest.parent, suffix=".part")
+    try:
+        with os.fdopen(fd, "wb") as out, _open(url, timeout) as resp:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                sha.update(chunk)
+                total += len(chunk)
+                out.write(chunk)
+        if expect is not None:
+            want_sha, want_size = expect
+            if total != want_size:
+                raise FetchError(
+                    f"{repo}/{filename}: size mismatch "
+                    f"(got {total}, expected {want_size})")
+            if sha.hexdigest() != want_sha:
+                raise FetchError(
+                    f"{repo}/{filename}: sha256 mismatch "
+                    f"(got {sha.hexdigest()}, expected {want_sha}) — "
+                    "refusing to install a corrupt checkpoint")
+            logger.info(f"  sha256 verified: {want_sha[:16]}… "
+                        f"({total / 1e6:.1f} MB)")
+        else:
+            logger.info(f"  downloaded {filename} ({total} bytes, "
+                        "non-LFS: no pointer hash to verify)")
+        os.replace(tmp, dest)
+        return dest
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def fetch_model(model_name: str, timeout: float = 60.0) -> Path:
+    """Provision one repo into the HF-cache snapshot layout; returns the
+    weight-file path.  Skips models that already resolve locally."""
+    from ..quant.checkpoint_io import find_local_checkpoint
+
+    existing = find_local_checkpoint(model_name)
+    if existing is not None:
+        logger.info(f"{model_name}: already available at {existing}")
+        return existing
+
+    dest_dir = snapshot_dir(model_name)
+    logger.info(f"Fetching {model_name} from {endpoint()} → {dest_dir}")
+    weight_path: Optional[Path] = None
+    last_err: Optional[Exception] = None
+    for candidate in _WEIGHT_CANDIDATES:
+        try:
+            weight_path = _download_verified(
+                model_name, candidate, dest_dir / candidate, timeout)
+            break
+        except urllib.error.HTTPError as exc:
+            last_err = exc
+            continue
+        except urllib.error.URLError as exc:
+            raise FetchError(
+                f"Cannot reach {endpoint()} ({exc.reason}). This machine "
+                "appears to be offline — download the checkpoint elsewhere "
+                "and place it under any directory find_local_checkpoint "
+                f"scans (e.g. {dest_dir}), or point HF_ENDPOINT at a "
+                "reachable mirror.") from exc
+    if weight_path is None:
+        raise FetchError(
+            f"{model_name}: no weight file found at {endpoint()} "
+            f"(tried {', '.join(_WEIGHT_CANDIDATES)}): {last_err}")
+
+    for aux in _AUX_FILES:
+        try:
+            _download_verified(model_name, aux, dest_dir / aux, timeout)
+        except (urllib.error.HTTPError, FetchError):
+            pass  # aux files are best-effort
+        except urllib.error.URLError:
+            pass
+    return weight_path
+
+
+def fetch_models(models: Optional[List[str]] = None,
+                 timeout: float = 60.0) -> Dict[str, Path]:
+    """Provision several repos; returns {model: weight path}.  Raises
+    FetchError with per-model context on the first hard failure."""
+    out: Dict[str, Path] = {}
+    for name in models or list(DEFAULT_MODELS):
+        out[name] = fetch_model(name, timeout=timeout)
+    return out

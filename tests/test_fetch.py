@@ -1,0 +1,154 @@
+"""Pretrained-weight provisioning (`nat --fetch`, io/fetch.py).
+
+A localhost HTTP server plays the HF endpoint, serving a synthetic repo in
+the hub's /raw/ (LFS pointer) + /resolve/ (payload) layout.  Asserts the
+full contract: sha256-verified install into the snapshot layout
+checkpoint_io.find_local_checkpoint resolves, corruption rejection,
+idempotent re-fetch, and a clear offline error.
+"""
+
+import hashlib
+import http.server
+import json
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from nat_tpu.io import fetch
+from nat_tpu.quant import checkpoint_io
+
+
+def _safetensors_bytes(arrays):
+    header = {}
+    blobs = []
+    offset = 0
+    for name, arr in arrays.items():
+        data = arr.astype(np.float32).tobytes()
+        header[name] = {"dtype": "F32", "shape": list(arr.shape),
+                        "data_offsets": [offset, offset + len(data)]}
+        blobs.append(data)
+        offset += len(data)
+    hj = json.dumps(header).encode()
+    return struct.pack("<Q", len(hj)) + hj + b"".join(blobs)
+
+
+@pytest.fixture()
+def repo_server():
+    """Serves repo 'acme/tiny-model' with an LFS-pointed safetensors."""
+    weights = _safetensors_bytes(
+        {"encoder.weight": np.arange(12, dtype=np.float32).reshape(3, 4)})
+    sha = hashlib.sha256(weights).hexdigest()
+    pointer = (f"version https://git-lfs.github.com/spec/v1\n"
+               f"oid sha256:{sha}\nsize {len(weights)}\n").encode()
+    config = json.dumps({"model_type": "tiny"}).encode()
+    state = {"corrupt": False}
+
+    routes = {
+        "/acme/tiny-model/raw/main/model.safetensors": lambda: pointer,
+        "/acme/tiny-model/resolve/main/model.safetensors":
+            lambda: (weights[:-4] + b"XXXX" if state["corrupt"] else weights),
+        "/acme/tiny-model/raw/main/config.json": lambda: config,
+        "/acme/tiny-model/resolve/main/config.json": lambda: config,
+    }
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body_fn = routes.get(self.path)
+            if body_fn is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = body_fn()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv, state, weights
+    srv.shutdown()
+
+
+@pytest.fixture()
+def hub_env(repo_server, tmp_path, monkeypatch):
+    srv, state, weights = repo_server
+    monkeypatch.setenv("HF_ENDPOINT",
+                       f"http://127.0.0.1:{srv.server_address[1]}")
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "hf"))
+    monkeypatch.delenv("HF_HUB_CACHE", raising=False)
+    monkeypatch.delenv("HUGGINGFACE_HUB_CACHE", raising=False)
+    return state, weights
+
+
+class TestFetch:
+    def test_verified_install_resolves(self, hub_env):
+        state, weights = hub_env
+        path = fetch.fetch_model("acme/tiny-model")
+        assert path.name == "model.safetensors"
+        assert path.read_bytes() == weights
+        # lands exactly where the offline resolver looks
+        found = checkpoint_io.find_local_checkpoint("acme/tiny-model")
+        assert found == path
+        sd = checkpoint_io.parse_safetensors(found)
+        np.testing.assert_array_equal(
+            sd["encoder.weight"],
+            np.arange(12, dtype=np.float32).reshape(3, 4))
+        # aux config installed beside it
+        assert (path.parent / "config.json").exists()
+
+    def test_refetch_is_idempotent(self, hub_env):
+        p1 = fetch.fetch_model("acme/tiny-model")
+        p2 = fetch.fetch_model("acme/tiny-model")  # "already available"
+        assert p1 == p2
+
+    def test_corrupt_payload_rejected(self, hub_env):
+        state, _ = hub_env
+        state["corrupt"] = True
+        with pytest.raises(fetch.FetchError, match="sha256 mismatch"):
+            fetch.fetch_model("acme/tiny-model")
+        assert checkpoint_io.find_local_checkpoint("acme/tiny-model") is None
+        assert not list(fetch.snapshot_dir("acme/tiny-model").glob("*.part"))
+
+    def test_unknown_repo_clear_error(self, hub_env):
+        with pytest.raises(fetch.FetchError, match="no weight file"):
+            fetch.fetch_model("acme/absent")
+
+    def test_offline_clear_error(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("HF_ENDPOINT", "http://127.0.0.1:9")  # discard port
+        monkeypatch.setenv("HF_HOME", str(tmp_path / "hf"))
+        with pytest.raises(fetch.FetchError, match="offline"):
+            fetch.fetch_model("acme/tiny-model", timeout=2.0)
+
+    def test_fetch_models_default_list(self):
+        assert fetch.DEFAULT_MODELS == ("facebook/wav2vec2-base",
+                                        "m-a-p/MERT-v1-95M",
+                                        "facebook/encodec_24khz")
+
+
+@pytest.mark.slow
+class TestFetchCli:
+    def test_cli_fetch(self, cli, repo_server, tmp_path):
+        srv, state, weights = repo_server
+        env = {"HF_ENDPOINT": f"http://127.0.0.1:{srv.server_address[1]}",
+               "HF_HOME": str(tmp_path / "hf")}
+        rc, out, err = cli(["--fetch", "acme/tiny-model"], extra_env=env)
+        assert rc == 0, err[-500:]
+        assert "acme/tiny-model" in out
+        assert "sha256 verified" in err
+        # installed where the tokenizer's checkpoint resolution will find it
+        line_path = out.strip().split("\t")[1]
+        assert line_path.endswith("model.safetensors")
+
+    def test_cli_fetch_offline_error(self, cli, tmp_path):
+        env = {"HF_ENDPOINT": "http://127.0.0.1:9",
+               "HF_HOME": str(tmp_path / "hf")}
+        rc, out, err = cli(["--fetch", "acme/tiny-model"], extra_env=env)
+        assert rc == 1
+        assert "offline" in err
