@@ -72,12 +72,60 @@ def main() -> None:
 
     audio_seconds = iters * batch * chunk_seconds
     rtf = audio_seconds / elapsed
-    print(json.dumps({
+
+    e2e = _bench_e2e_stream()
+    record = {
         "metric": "audio_seconds_tokenized_per_sec_per_chip",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 100.0, 3),
-    }))
+    }
+    record.update(e2e)
+    print(json.dumps(record))
+
+
+def _bench_e2e_stream() -> dict:
+    """Product-path throughput: the full CLI pipeline (decode → chunked
+    dual-encoder forward with lookahead dispatch → incremental NDJSON
+    serialization), measured warm on one 60 s file.  Returned as extra
+    keys on the single BENCH record (VERDICT r2: record e2e alongside the
+    forward number).  Failures degrade to a diagnostic key, never break
+    the primary metric."""
+    import os
+    import tempfile
+
+    try:
+        from nat_tpu.io.audio import write_wav
+        from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
+
+        sr = 22050
+        seconds = 60.0
+        pipe = AudioTokenizationPipeline(
+            model_config={"codebook_size": 4096,
+                          "semantic_arch": "wav2vec2"},
+            enable_reconstruction=False,
+            codebook_init_method="random",
+            enable_codebook_cache=False,
+        )
+        if pipe.compat_mode:
+            return {"e2e_stream_x_realtime": 0.0,
+                    "e2e_error": "neural path unavailable"}
+        rng = np.random.default_rng(0)
+        t = np.arange(int(sr * seconds)) / sr
+        x = (0.4 * np.sin(2 * np.pi * 440 * t)
+             + 0.1 * rng.standard_normal(t.size)).astype(np.float32)
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "bench_e2e.wav")
+            write_wav(path, x, sr)
+            sink = lambda line: None  # noqa: E731
+            pipe.stream_audio(path, sink)          # warm (compiles)
+            start = time.perf_counter()
+            pipe.stream_audio(path, sink)
+            elapsed = time.perf_counter() - start
+        return {"e2e_stream_x_realtime": round(seconds / elapsed, 2)}
+    except Exception as exc:  # never poison the primary record
+        return {"e2e_stream_x_realtime": 0.0,
+                "e2e_error": f"{type(exc).__name__}: {exc}"}
 
 
 if __name__ == "__main__":

@@ -82,7 +82,9 @@ class _AotForwardDispatch:
 
         if not aotcache.cache_enabled():
             return self.jitted(params, sem_rvq, acc_rvq, wave, rng)
-        shape = tuple(wave.shape)
+        # Key on both data args: the forward varies in wave shape, the
+        # decode program in both token-matrix shapes.
+        shape = (tuple(wave.shape), tuple(getattr(rng, "shape", ())))
         exe = self._compiled.get(shape)
         if exe is None:
             try:
@@ -663,15 +665,27 @@ class NeuralAudioTokenizer:
         # centers fall inside the chunk's own span.  Spans partition the
         # signal, so every frame is kept exactly once.  chunk_spans reserves
         # the margin so extended chunks still fit the largest bucket.
+        #
+        # Dispatch is pipelined with lookahead 1: span k+1 is enqueued on
+        # the device BEFORE span k's tokens are fetched/serialized, so host
+        # serialization overlaps device compute (JAX dispatch is async; the
+        # fetch in finalize_span is the only synchronization point).
         overlap = int(sr)
         spans = chunk_spans(total, sr, overlap=overlap)
         if len(spans) == 1:
             overlap = 0
+        pending = None  # (raw forward output, SpanMeta)
         for start, length in spans:
             ext_start = max(0, start - overlap)
             ext_end = min(total, start + length + overlap)
-            yield self.tokenize_span(wave[:, ext_start:ext_end], ext_start,
-                                     start, length, overlap, sr)
+            dispatched = self.dispatch_span(wave[:, ext_start:ext_end],
+                                            ext_start, start, length,
+                                            overlap, sr)
+            if pending is not None:
+                yield self.finalize_span(*pending)
+            pending = dispatched
+        if pending is not None:
+            yield self.finalize_span(*pending)
 
     def prepare_span(self, chunk: np.ndarray, ext_start: int, start: int,
                      length: int, overlap: int, sr: int):
@@ -722,19 +736,29 @@ class NeuralAudioTokenizer:
             "acoustic_features": _feat("acoustic_features"),
         }
 
-    def tokenize_span(self, chunk: np.ndarray, ext_start: int, start: int,
-                      length: int, overlap: int, sr: int) -> Dict:
-        """Tokenize one overlap-extended span (``chunk`` = samples
-        ``[ext_start : start+length+overlap]``); returns the per-chunk dict
-        :meth:`iter_chunks` yields.  Also the building block of the
-        streaming-stdin path, which produces spans incrementally."""
+    def dispatch_span(self, chunk: np.ndarray, ext_start: int, start: int,
+                      length: int, overlap: int, sr: int):
+        """Enqueue one span's forward on the device WITHOUT fetching;
+        returns ``(raw_output, SpanMeta)`` for a later
+        :meth:`finalize_span`.  JAX dispatch is asynchronous, so callers
+        can overlap the device compute with host work (serialization of
+        earlier spans, reading more input)."""
         chunk, meta = self.prepare_span(chunk, ext_start, start, length,
                                         overlap, sr)
         forward, _ = self._forward_for(meta.bucket, sr)
         self._rng, rng = jax.random.split(self._rng)
         out = forward(self.params, self.sem_rvq, self.acc_rvq,
                       jnp.asarray(chunk), rng)
-        return self.finalize_span(out, meta)
+        return out, meta
+
+    def tokenize_span(self, chunk: np.ndarray, ext_start: int, start: int,
+                      length: int, overlap: int, sr: int) -> Dict:
+        """Tokenize one overlap-extended span (``chunk`` = samples
+        ``[ext_start : start+length+overlap]``); returns the per-chunk dict
+        :meth:`iter_chunks` yields.  Also the building block of the
+        streaming-stdin path, which produces spans incrementally."""
+        return self.finalize_span(*self.dispatch_span(
+            chunk, ext_start, start, length, overlap, sr))
 
     def __call__(self, waveform, actual_sample_rate: Optional[int] = None) -> Dict:
         sem_parts: List[np.ndarray] = []
@@ -793,7 +817,9 @@ class NeuralAudioTokenizer:
                     {"params": params["decoder"]}, joint,
                     sem.shape[-1] * hop)
 
-            self._decode_jit = decode
+            self._decode_jit = _AotForwardDispatch(
+                decode, dict(self._aot_config(self.sample_rate, 0),
+                             program="decode_tokens"))
         sem = jnp.stack([jnp.asarray(c) for c in semantic_codes])
         acc = jnp.stack([jnp.asarray(c) for c in acoustic_codes])
         return np.asarray(self._decode_jit(

@@ -641,6 +641,11 @@ class AudioTokenizationPipeline:
         acc_parts: List[np.ndarray] = []
         encode_start = time.time()
 
+        # NOTE: unlike iter_chunks (whole input in hand), spans here are
+        # emitted synchronously — input ARRIVAL is the bottleneck on a live
+        # pipe and lookahead dispatch would hold span k's frames back until
+        # span k+1's bytes arrived, regressing first-frame latency (the
+        # product promise of --stream-stdin; test-asserted).
         def process_span(start: int, length: int, ov: int) -> None:
             ext_start = max(0, start - ov)
             ext_end = min(total, start + length + ov)
