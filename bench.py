@@ -23,6 +23,8 @@ def main() -> None:
 
     from nat_tpu.models.tokenizer import NeuralAudioTokenizer
 
+    t_start = time.time()
+
     sample_rate = 22050
     chunk_seconds = 30.0
     # Throughput batching: per-call host/tunnel overhead is ~90 ms fixed +
@@ -73,7 +75,7 @@ def main() -> None:
     audio_seconds = iters * batch * chunk_seconds
     rtf = audio_seconds / elapsed
 
-    e2e = _bench_e2e_stream()
+    e2e = _bench_e2e_stream(time.time() - t_start)
     record = {
         "metric": "audio_seconds_tokenized_per_sec_per_chip",
         "value": round(rtf, 2),
@@ -84,7 +86,7 @@ def main() -> None:
     print(json.dumps(record))
 
 
-def _bench_e2e_stream() -> dict:
+def _bench_e2e_stream(spent_seconds: float, budget: float = 300.0) -> dict:
     """Product-path throughput: the full CLI pipeline (decode → chunked
     dual-encoder forward with lookahead dispatch → incremental NDJSON
     serialization), measured warm on one 60 s file.  Returned as extra
@@ -94,6 +96,16 @@ def _bench_e2e_stream() -> dict:
     import os
     import tempfile
 
+    # The forward metric must ALWAYS print within the driver's patience:
+    # when the forward phase already ate the budget (cold compiles on a
+    # degraded backend), skip the e2e add-on rather than risk the record.
+    if os.environ.get("NAT_TPU_BENCH_E2E") == "0":
+        return {"e2e_stream_x_realtime": 0.0,
+                "e2e_error": "disabled (NAT_TPU_BENCH_E2E=0)"}
+    if spent_seconds > budget:
+        return {"e2e_stream_x_realtime": 0.0,
+                "e2e_error": f"skipped (forward phase took "
+                             f"{spent_seconds:.0f}s > {budget:.0f}s budget)"}
     try:
         from nat_tpu.io.audio import write_wav
         from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
