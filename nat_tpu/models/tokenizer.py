@@ -22,6 +22,7 @@ Counterpart of reference `NeuralAudioTokenizer` (neural_audio_tokenizer.py:
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Any, Dict, List, NamedTuple, Optional
 
@@ -674,18 +675,145 @@ class NeuralAudioTokenizer:
         spans = chunk_spans(total, sr, overlap=overlap)
         if len(spans) == 1:
             overlap = 0
-        pending = None  # (raw forward output, SpanMeta)
-        for start, length in spans:
-            ext_start = max(0, start - overlap)
-            ext_end = min(total, start + length + overlap)
-            dispatched = self.dispatch_span(wave[:, ext_start:ext_end],
-                                            ext_start, start, length,
-                                            overlap, sr)
+
+        # Span-group batching: after the first span (kept single for
+        # first-frame latency), consecutive same-bucket spans are stacked
+        # into ONE padded [G, bucket] forward call.  Long files thus pay
+        # per-dispatch tunnel/host overhead once per GROUP instead of once
+        # per span — the single-file streaming path approaches the batched
+        # forward's throughput.  Rows are independent (batch-elementwise
+        # programs; asserted byte-identical to sequential in
+        # tests/test_streaming_emission.py), zero rows pad the tail group
+        # to the fixed G so only two programs exist per bucket.  Argmin
+        # mode only: stochastic mode keeps the per-span rng stream.
+        group_size = self._stream_group_size()
+        if self.stochastic or wave.shape[0] != 1:
+            group_size = 1
+        plan = self._plan_span_groups(spans, overlap, sr, total, group_size)
+
+        pending = None  # ('single'|'group', raw output, meta(s))
+        for item in plan:
+            if len(item) == 1:
+                start, length = item[0]
+                ext_start = max(0, start - overlap)
+                ext_end = min(total, start + length + overlap)
+                dispatched = ("single",
+                              *self.dispatch_span(wave[:, ext_start:ext_end],
+                                                  ext_start, start, length,
+                                                  overlap, sr))
+            else:
+                dispatched = ("group",
+                              *self.dispatch_span_group(wave, item, overlap,
+                                                        sr, total, group_size))
             if pending is not None:
-                yield self.finalize_span(*pending)
+                yield from self._finalize_plan_item(pending)
             pending = dispatched
         if pending is not None:
-            yield self.finalize_span(*pending)
+            yield from self._finalize_plan_item(pending)
+
+    def _finalize_plan_item(self, item):
+        kind, out, meta = item
+        if kind == "single":
+            yield self.finalize_span(out, meta)
+        else:
+            yield from self.finalize_span_group(out, meta)
+
+    def _stream_group_size(self) -> int:
+        """Spans per batched dispatch on the chunked streaming path.
+        Default 8 on accelerators (dispatch-overhead amortization), 1 on
+        CPU (padded rows are not free there); NAT_TPU_STREAM_GROUP
+        overrides."""
+        env = os.environ.get("NAT_TPU_STREAM_GROUP")
+        if env:
+            try:
+                return max(1, int(env))
+            except ValueError:
+                pass
+        try:
+            if any(d.platform != "cpu" for d in jax.devices()):
+                return 8
+        except Exception:
+            pass
+        return 1
+
+    @staticmethod
+    def _plan_span_groups(spans, overlap, sr, total, group_size):
+        """Partition spans into dispatch items: the first span alone (first
+        frames reach the consumer after one single-row forward), then runs
+        of same-bucket spans in groups of ≤ ``group_size``; runs of one
+        stay single-row (no padding waste, no extra program shape)."""
+        def span_bucket(start, length):
+            ext = (min(total, start + length + overlap)
+                   - max(0, start - overlap))
+            return bucket_length(ext, sr)
+
+        items = []
+        i = 0
+        if group_size > 1 and len(spans) > 1:
+            items.append([spans[0]])
+            i = 1
+        while i < len(spans):
+            if group_size == 1:
+                items.append([spans[i]])
+                i += 1
+                continue
+            b = span_bucket(*spans[i])
+            j = i
+            while (j < len(spans) and j - i < group_size
+                   and span_bucket(*spans[j]) == b):
+                j += 1
+            items.append(list(spans[i:j]) if j - i > 1 else [spans[i]])
+            i = j
+        return items
+
+    def dispatch_span_group(self, wave, group, overlap, sr, total,
+                            group_size):
+        """Enqueue one batched forward over ``group``'s spans (all the same
+        bucket; zero rows pad to ``group_size``).  Returns
+        ``(raw_output, List[SpanMeta])`` for :meth:`finalize_span_group`."""
+        chunks, metas = [], []
+        for start, length in group:
+            ext_start = max(0, start - overlap)
+            ext_end = min(total, start + length + overlap)
+            chunk, meta = self.prepare_span(wave[:, ext_start:ext_end],
+                                            ext_start, start, length,
+                                            overlap, sr)
+            chunks.append(chunk)
+            metas.append(meta)
+        stacked = np.concatenate(chunks, axis=0)
+        if stacked.shape[0] < group_size:
+            stacked = np.pad(
+                stacked, ((0, group_size - stacked.shape[0]), (0, 0)))
+        forward, _ = self._forward_for(metas[0].bucket, sr)
+        self._rng, rng = jax.random.split(self._rng)
+        out = forward(self.params, self.sem_rvq, self.acc_rvq,
+                      jnp.asarray(stacked), rng)
+        return out, metas
+
+    def finalize_span_group(self, out: Dict, metas: List["SpanMeta"]):
+        """Fetch one group's stacked outputs (single device→host transfer
+        per key) and finalize each real row in span order."""
+        fetched = {
+            k: (None if out.get(k) is None else np.asarray(out[k]))
+            for k in ("semantic_codes", "acoustic_codes", "reconstructed",
+                      "semantic_features", "acoustic_features")
+        }
+        losses = {k: float(v) for k, v in out["losses"].items()}
+        for g, meta in enumerate(metas):
+            row = {
+                "semantic_codes": fetched["semantic_codes"][:, g:g + 1],
+                "acoustic_codes": fetched["acoustic_codes"][:, g:g + 1],
+                "reconstructed": (None if fetched["reconstructed"] is None
+                                  else fetched["reconstructed"][g:g + 1]),
+                "losses": losses,
+                "semantic_features": (
+                    None if fetched["semantic_features"] is None
+                    else fetched["semantic_features"][g:g + 1]),
+                "acoustic_features": (
+                    None if fetched["acoustic_features"] is None
+                    else fetched["acoustic_features"][g:g + 1]),
+            }
+            yield self.finalize_span(row, meta)
 
     def prepare_span(self, chunk: np.ndarray, ext_start: int, start: int,
                      length: int, overlap: int, sr: int):

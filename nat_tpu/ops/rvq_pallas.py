@@ -230,3 +230,108 @@ def rvq_encode_pallas(
     return (codes[:, :m].reshape(n, b, t),
             qsum[:m].reshape(b, t, d),
             losses)
+
+
+# ---------------------------------------------------------------------------
+# Training path: Pallas forward + analytic straight-through backward.
+#
+# The XLA path (quant.rvq.rvq_encode) is differentiable because jax traces
+# its stop_gradient structure; the Pallas kernel is not.  But the STE
+# gradients have a closed form that needs only (codebook, x, codes):
+#
+#   quantized = x + stop_grad(Σq − x)          ⇒ ∂quantized/∂x = I
+#   rₙ = x − stop_grad(Σ_{j<n} q_j)            ⇒ ∂rₙ/∂x = I
+#   commitₙ  = mean((rₙ − sg(qₙ))²)            ⇒ ∂/∂x = 2(rₙ−qₙ)/(M·D)
+#   codebookₙ = mean((sg(rₙ) − qₙ)²)           ⇒ ∂/∂qₙ = 2(qₙ−rₙ)/(M·D),
+#                                                scattered into codebook[n]
+#
+# and rₙ − qₙ = x − Σ_{j≤n} q_j is reconstructible from the codes alone —
+# the backward re-gathers q from (codebook, codes) and never reruns the
+# kernel.  Argmin mode only (the train step is deterministic; reference
+# training-mode sampling is a compat behavior, SURVEY §6).
+# ---------------------------------------------------------------------------
+
+
+def _pallas_train_fwd_impl(codebook, x, interpret):
+    b, t, d = x.shape
+    m = b * t
+    m_pad = -(-m // TILE_M) * TILE_M
+    flat = x.reshape(m, d)
+    if m_pad != m:
+        flat = jnp.pad(flat, ((0, m_pad - m), (0, 0)))
+    seed_arr = jnp.zeros((1,), dtype=jnp.int32)
+    codes, errs, qsum = _rvq_pallas_flat(codebook, flat, seed_arr,
+                                         temperature=None,
+                                         interpret=interpret)
+    n = codebook.shape[0]
+    per_layer = errs[:, :m].sum(axis=1) / (m * d)
+    mean_layer = per_layer.mean()
+    losses = {
+        "commitment_loss": mean_layer,
+        "codebook_loss": mean_layer,
+        "total_vq_loss": 1.25 * mean_layer,
+    }
+    return codes[:, :m].reshape(n, b, t), qsum[:m].reshape(b, t, d), losses
+
+
+def _pallas_train_bwd_impl(codebook, x, codes, g_quant, g_losses):
+    n, k, d = codebook.shape
+    b, t, _ = x.shape
+    m = b * t
+    flat = x.reshape(m, d)
+    codes_flat = codes.reshape(n, m)
+    # q [N, M, D] gathered per layer; post-residual rₙ − qₙ = x − cumsum(q).
+    q = jax.vmap(lambda cb, cd: cb[cd])(codebook, codes_flat)
+    post_res = flat[None] - jnp.cumsum(q, axis=0)            # [N, M, D]
+
+    gc = g_losses["commitment_loss"]
+    gcb = g_losses["codebook_loss"]
+    gt = g_losses["total_vq_loss"]
+    commit_coeff = (gc + 0.25 * gt) / n * (2.0 / (m * d))
+    cb_coeff = (gcb + gt) / n * (-2.0 / (m * d))
+
+    grad_x = (g_quant.reshape(m, d)
+              + commit_coeff * post_res.sum(axis=0)).reshape(b, t, d)
+    # Scatter −2(rₙ−qₙ)/(M·D) into the selected codebook rows per layer.
+    grad_cb = jax.vmap(
+        lambda cd, pr: jax.ops.segment_sum(pr, cd, num_segments=k)
+    )(codes_flat, post_res) * cb_coeff
+    return grad_cb, grad_x
+
+
+@functools.lru_cache(maxsize=2)
+def _make_pallas_train_fn(interpret: bool):
+    @jax.custom_vjp
+    def encode(codebook, x):
+        return _pallas_train_fwd_impl(codebook, x, interpret)
+
+    def fwd(codebook, x):
+        out = _pallas_train_fwd_impl(codebook, x, interpret)
+        return out, (codebook, x, out[0])
+
+    def bwd(saved, cotangents):
+        codebook, x, codes = saved
+        _, g_quant, g_losses = cotangents  # codes cotangent is float0
+        return _pallas_train_bwd_impl(codebook, x, codes, g_quant, g_losses)
+
+    encode.defvjp(fwd, bwd)
+    return encode
+
+
+def rvq_encode_pallas_train(
+    state: RVQState,
+    x: jnp.ndarray,          # [B, T, D]
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Differentiable fused RVQ encode (argmin mode).
+
+    Forward runs the Pallas kernel; backward applies the straight-through
+    estimator analytically, matching :func:`nat_tpu.quant.rvq.rvq_encode`'s
+    gradients for both ``x`` and ``state.codebook`` (parity test-asserted).
+    Falls back to the XLA path for codebooks that don't tile onto the
+    kernel's K-chunking."""
+    if state.codebook_size % CHUNK_K != 0:
+        from ..quant.rvq import rvq_encode
+
+        return rvq_encode(state, x, stochastic=False)
+    return _make_pallas_train_fn(interpret)(state.codebook, x)

@@ -64,19 +64,26 @@ def make_train_state(tokenizer, optimizer, mesh=None) -> TrainState:
 
 def make_train_step(tokenizer, optimizer, mesh=None,
                     commitment_weight: float = 0.25,
-                    ema_decay: float = 0.99):
+                    ema_decay: float = 0.99,
+                    use_pallas_rvq: bool = False):
     """Returns a jitted ``(state, batch, rng) -> (state, metrics)`` step.
 
     ``batch`` is a waveform array ``[B, S]`` (bucket-padded).  With ``mesh``
     given, the batch is dp-sharded and params/codebooks follow the tp rules;
     the same step function runs unchanged on one chip.
+
+    ``use_pallas_rvq=True`` swaps the XLA RVQ for the fused Pallas kernel
+    with its analytic STE backward (:func:`~nat_tpu.ops.rvq_pallas.
+    rvq_encode_pallas_train`) — single-chip/dp meshes only: under tp the
+    un-partitioned ``pallas_call`` forces XLA to all-gather the sharded
+    codebook, losing the column-parallel distance matmul.
     """
     bucket = None  # resolved per call shape by jit
 
     def loss_fn(params, sem_rvq, acc_rvq, batch, rng):
         t_target = tokenizer._target_frames(batch.shape[-1])
         out = _forward_train(tokenizer, params, sem_rvq, acc_rvq, batch,
-                             rng, t_target)
+                             rng, t_target, use_pallas_rvq=use_pallas_rvq)
         recon_loss = out["reconstruction_loss"]
         vq_loss = out["commitment_loss"] * commitment_weight
         loss = recon_loss + vq_loss
@@ -125,10 +132,12 @@ def make_train_step(tokenizer, optimizer, mesh=None,
 
 
 def _forward_train(tokenizer, params, sem_rvq, acc_rvq, batch, rng,
-                   t_target: int):
-    """Differentiable forward shared by the train step (always the XLA RVQ
-    path — straight-through gradients; the Pallas kernel is inference-only
-    for now)."""
+                   t_target: int, use_pallas_rvq: bool = False):
+    """Differentiable forward shared by the train step.  The RVQ stage is
+    either the XLA scan (default — jax traces its stop_gradient structure)
+    or the fused Pallas kernel with its analytic STE custom_vjp
+    (``use_pallas_rvq=True``); both yield identical gradients
+    (tests/test_rvq.py::test_train_path_gradients_match_xla)."""
     from ..dsp.resample import resample_jax
     from ..models.tokenizer import SEMANTIC_SR
     from ..ops.interp import interp_linear
@@ -147,11 +156,17 @@ def _forward_train(tokenizer, params, sem_rvq, acc_rvq, batch, rng,
         return jnp.swapaxes(interp_linear(jnp.swapaxes(f, 1, 2), t_target), 1, 2)
 
     sem_a, acc_a = align(sem_feats), align(acc_feats)
-    rng_s, rng_a = jax.random.split(rng)
-    sem_codes, sem_q, sem_losses = rvq_encode(
-        sem_rvq, sem_a, stochastic=False, rng=rng_s)
-    acc_codes, acc_q, acc_losses = rvq_encode(
-        acc_rvq, acc_a, stochastic=False, rng=rng_a)
+    if use_pallas_rvq:
+        from ..ops.rvq_pallas import rvq_encode_pallas_train
+
+        sem_codes, sem_q, sem_losses = rvq_encode_pallas_train(sem_rvq, sem_a)
+        acc_codes, acc_q, acc_losses = rvq_encode_pallas_train(acc_rvq, acc_a)
+    else:
+        rng_s, rng_a = jax.random.split(rng)
+        sem_codes, sem_q, sem_losses = rvq_encode(
+            sem_rvq, sem_a, stochastic=False, rng=rng_s)
+        acc_codes, acc_q, acc_losses = rvq_encode(
+            acc_rvq, acc_a, stochastic=False, rng=rng_a)
 
     out_samples = t_target * tokenizer.hop_length
     joint = jnp.concatenate([sem_q, acc_q], axis=-1)

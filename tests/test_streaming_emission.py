@@ -97,3 +97,41 @@ def test_pipeline_stream_audio_matches_buffered(tmp_path):
     assert streamed_lines[:-1] == buf_lines[:-1]
     assert '"event":"end"' in streamed_lines[-1]
     assert len(streamed_lines) == len(buf_lines)
+
+
+def test_span_group_batching_byte_identical(tmp_path, monkeypatch):
+    """Grouped [G, bucket] span dispatch (the TPU streaming fast path)
+    emits byte-identical NDJSON to sequential [1, bucket] dispatch —
+    rows are independent and zero-row padding is discarded."""
+    from nat_tpu.io.audio import write_wav
+    from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
+
+    sr = 22050
+    t = np.arange(int(sr * 90)) / sr
+    x = (np.sin(2 * np.pi * 220 * t) * 0.4
+         + 0.2 * np.sin(2 * np.pi * 880 * t)
+         + 0.05 * np.sin(2 * np.pi * 55 * t)).astype(np.float32)
+    path = tmp_path / "ninety.wav"
+    write_wav(str(path), x, sr)
+
+    def run(group: str):
+        monkeypatch.setenv("NAT_TPU_STREAM_GROUP", group)
+        pipe = AudioTokenizationPipeline(
+            model_config={"codebook_size": 64, "semantic_dim": 64,
+                          "acoustic_dim": 64, "n_mels": 32},
+            enable_compat_fallback=False,
+            deterministic=True,
+            enable_reconstruction=False,
+            codebook_init_method="random",
+            enable_codebook_cache=False,
+        )
+        if pipe.compat_mode:
+            pytest.skip("neural path unavailable")
+        lines = []
+        pipe.stream_audio(str(path), lines.append)
+        return lines
+
+    sequential = run("1")
+    grouped = run("4")   # 90 s → spans 28+28+28+6 s: [s0], [s1, s2], [s3]
+    assert grouped[:-1] == sequential[:-1]
+    assert len(grouped) == len(sequential)
