@@ -24,7 +24,7 @@ parity is asserted in tests (interpret mode on CPU, compiled on TPU).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -321,7 +321,7 @@ def _make_pallas_train_fn(interpret: bool):
 def rvq_encode_pallas_train(
     state: RVQState,
     x: jnp.ndarray,          # [B, T, D]
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Differentiable fused RVQ encode (argmin mode).
 
@@ -329,9 +329,12 @@ def rvq_encode_pallas_train(
     estimator analytically, matching :func:`nat_tpu.quant.rvq.rvq_encode`'s
     gradients for both ``x`` and ``state.codebook`` (parity test-asserted).
     Falls back to the XLA path for codebooks that don't tile onto the
-    kernel's K-chunking."""
+    kernel's K-chunking.  ``interpret=None`` auto-selects interpret mode
+    on CPU backends (no Mosaic lowering there)."""
     if state.codebook_size % CHUNK_K != 0:
         from ..quant.rvq import rvq_encode
 
         return rvq_encode(state, x, stochastic=False)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     return _make_pallas_train_fn(interpret)(state.codebook, x)

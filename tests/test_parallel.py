@@ -113,6 +113,43 @@ class TestTrainStep:
         new_state, _ = step(state, batch, rng)
         assert np.any(np.asarray(new_state.sem_rvq.ema_count) > 0)
 
+    def test_pallas_rvq_train_step_matches_xla(self):
+        """``use_pallas_rvq=True`` (fused kernel fwd + analytic STE bwd)
+        produces the same one-step result as the XLA scan path: same
+        losses, same updated parameters (kernel-tileable codebook 512)."""
+        import optax
+
+        from nat_tpu.models.tokenizer import NeuralAudioTokenizer
+        from nat_tpu.parallel.train import make_train_state, make_train_step
+
+        tok = NeuralAudioTokenizer(
+            codebook_size=512, enable_codebook_cache=False,
+            use_pretrained_semantic=False, codebook_init_method="random",
+            enable_reconstruction=True)
+        tok.ensure_initialized()
+        optimizer = optax.adam(1e-4)
+        rng = jax.random.PRNGKey(2)
+        batch = jax.random.normal(rng, (2, 11025), dtype=jnp.float32)
+
+        results = []
+        for use_pallas in (False, True):
+            state = make_train_state(tok, optimizer)
+            step = make_train_step(tok, optimizer,
+                                   use_pallas_rvq=use_pallas)
+            new_state, metrics = step(state, batch, rng)
+            results.append((new_state, metrics))
+        (xla_state, xla_m), (pl_state, pl_m) = results
+        for key in ("loss", "reconstruction_loss", "commitment_loss"):
+            assert float(pl_m[key]) == pytest.approx(float(xla_m[key]),
+                                                     rel=1e-4), key
+        for a, b in zip(jax.tree_util.tree_leaves(xla_state.params),
+                        jax.tree_util.tree_leaves(pl_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(xla_state.sem_rvq.ema_count),
+            np.asarray(pl_state.sem_rvq.ema_count))
+
 
 class TestShardedCheckpoint:
     """Orbax TrainState checkpoints survive mesh-shape changes

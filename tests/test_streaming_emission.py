@@ -99,6 +99,7 @@ def test_pipeline_stream_audio_matches_buffered(tmp_path):
     assert len(streamed_lines) == len(buf_lines)
 
 
+@pytest.mark.slow
 def test_span_group_batching_byte_identical(tmp_path, monkeypatch):
     """Grouped [G, bucket] span dispatch (the TPU streaming fast path)
     emits byte-identical NDJSON to sequential [1, bucket] dispatch —
@@ -135,3 +136,32 @@ def test_span_group_batching_byte_identical(tmp_path, monkeypatch):
     grouped = run("4")   # 90 s → spans 28+28+28+6 s: [s0], [s1, s2], [s3]
     assert grouped[:-1] == sequential[:-1]
     assert len(grouped) == len(sequential)
+
+
+def test_span_group_tokens_identical_tokenizer_level(monkeypatch):
+    """Default-lane guard for grouped dispatch: tokenizer codes for a
+    multi-span signal are identical with sequential [1, bucket] and
+    padded-group [G, bucket] dispatch (cheap spectral-fallback config;
+    the full-pipeline byte-level check is the slow-lane test above)."""
+    from nat_tpu.models.tokenizer import NeuralAudioTokenizer
+
+    sr = 4000
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(int(sr * 90)).astype(np.float32) * 0.3
+
+    def run(group: str):
+        monkeypatch.setenv("NAT_TPU_STREAM_GROUP", group)
+        tok = NeuralAudioTokenizer(
+            sample_rate=sr, codebook_size=64, semantic_dim=32,
+            acoustic_dim=32, n_mels=16, enable_codebook_cache=False,
+            use_pretrained_semantic=False, codebook_init_method="random",
+            enable_reconstruction=False)
+        return tok(x[None, :])
+
+    seq, grp = run("1"), run("4")
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(c) for c in seq["semantic_codes"]]),
+        np.stack([np.asarray(c) for c in grp["semantic_codes"]]))
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(c) for c in seq["acoustic_codes"]]),
+        np.stack([np.asarray(c) for c in grp["acoustic_codes"]]))
