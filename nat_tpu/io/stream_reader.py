@@ -698,3 +698,76 @@ def iter_stream_samples(stream, block_bytes: int = 1 << 16
     if not announced:
         raise ValueError("stream ended before an audio header was parsed")
     yield "sha256", reader.digest()
+
+
+def eager_events(gen, max_queue: int = 256):
+    """Decouple stream reading from downstream compute.
+
+    A daemon thread pumps ``gen``'s events into a bounded queue (the bound
+    is backpressure: a slow consumer blocks the reader, never memory).
+    Iterating yields the same event protocol, except consecutive
+    already-queued ``("samples", ...)`` events are merged into one larger
+    payload — so when the producer outruns tokenization (``cat file |
+    nat --stream-stdin``), the pipeline sees multiple chunk spans at once
+    and can dispatch them as a single batched forward
+    (`runtime/pipeline._stream_one_file`).  On a live (real-time) pipe the
+    queue never fills past one event and behavior is identical to
+    consuming ``gen`` directly — first-frame latency is unchanged by
+    construction, since only ALREADY-ARRIVED bytes are merged.
+
+    Set ``max_queue`` small to bound lookahead (tests pin it via
+    NAT_TPU_STREAM_PREFETCH to keep byte-level arrival assertions
+    meaningful on instant in-memory streams).
+    """
+    import os as _os
+    import queue as _queue
+    import threading as _threading
+
+    env = _os.environ.get("NAT_TPU_STREAM_PREFETCH")
+    if env is not None:
+        try:
+            max_queue = int(env)
+        except ValueError:
+            pass
+    if max_queue <= 0:           # prefetch disabled: plain pass-through
+        yield from gen
+        return
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max_queue)
+    _EOF = ("__eof__", None)
+
+    def pump():
+        try:
+            for ev in gen:
+                q.put(ev)
+            q.put(_EOF)
+        except BaseException as exc:  # surfaced on the consumer side
+            q.put(("__err__", exc))
+
+    _threading.Thread(target=pump, daemon=True,
+                      name="nat-stream-prefetch").start()
+
+    pushback = None
+    while True:
+        kind, payload = pushback if pushback is not None else q.get()
+        pushback = None
+        if kind == "__eof__":
+            return
+        if kind == "__err__":
+            raise payload
+        if kind != "samples":
+            yield kind, payload
+            continue
+        parts = [payload]
+        while True:                 # merge whatever has ALREADY arrived
+            try:
+                nxt = q.get_nowait()
+            except _queue.Empty:
+                break
+            if nxt[0] == "samples":
+                parts.append(nxt[1])
+            else:
+                pushback = nxt
+                break
+        yield ("samples",
+               parts[0] if len(parts) == 1 else np.concatenate(parts))

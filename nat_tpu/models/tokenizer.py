@@ -737,9 +737,11 @@ class NeuralAudioTokenizer:
         return 1
 
     @staticmethod
-    def _plan_span_groups(spans, overlap, sr, total, group_size):
+    def _plan_span_groups(spans, overlap, sr, total, group_size,
+                          first_single: bool = True):
         """Partition spans into dispatch items: the first span alone (first
-        frames reach the consumer after one single-row forward), then runs
+        frames reach the consumer after one single-row forward; skip with
+        ``first_single=False`` when all data is already in hand), then runs
         of same-bucket spans in groups of ≤ ``group_size``; runs of one
         stay single-row (no padding waste, no extra program shape)."""
         def span_bucket(start, length):
@@ -749,7 +751,7 @@ class NeuralAudioTokenizer:
 
         items = []
         i = 0
-        if group_size > 1 and len(spans) > 1:
+        if first_single and group_size > 1 and len(spans) > 1:
             items.append([spans[0]])
             i = 1
         while i < len(spans):

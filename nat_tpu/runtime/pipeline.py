@@ -586,7 +586,7 @@ class AudioTokenizationPipeline:
         same shape as before); all per-file results are under
         ``"all_results"``.
         """
-        from ..io.stream_reader import iter_fs_streams
+        from ..io.stream_reader import eager_events, iter_fs_streams
 
         tok = self.tokenizer
         if not hasattr(tok, "tokenize_span"):
@@ -594,7 +594,10 @@ class AudioTokenizationPipeline:
                              "(compat mode reads buffered stdin)")
         tok.ensure_initialized()
 
-        gen = iter_fs_streams(stream)
+        # Prefetch thread: reading/decoding overlaps device compute, and a
+        # producer that outruns tokenization surfaces multiple spans per
+        # payload, which _stream_one_file dispatches as batched groups.
+        gen = eager_events(iter_fs_streams(stream))
         results: List[Dict[str, Any]] = []
         for kind, payload in gen:
             assert kind == "file", f"unexpected event {kind}"
@@ -645,7 +648,23 @@ class AudioTokenizationPipeline:
         # emitted synchronously — input ARRIVAL is the bottleneck on a live
         # pipe and lookahead dispatch would hold span k's frames back until
         # span k+1's bytes arrived, regressing first-frame latency (the
-        # product promise of --stream-stdin; test-asserted).
+        # product promise of --stream-stdin; test-asserted).  When several
+        # spans are ALREADY fully buffered (fast producer, or the EOF
+        # drain), they dispatch as one padded [G, bucket] group — the same
+        # amortization as iter_chunks with zero latency cost, since none
+        # of those spans could have been emitted earlier anyway.
+        group_size = (tok._stream_group_size()
+                      if hasattr(tok, "_stream_group_size") else 1)
+        if getattr(tok, "stochastic", False):
+            group_size = 1
+
+        def emit(out: Dict[str, Any]) -> None:
+            for line in self.streaming.feed_frames(
+                    out["semantic_codes"][:, 0], out["acoustic_codes"][:, 0]):
+                write(line)
+            sem_parts.append(out["semantic_codes"])
+            acc_parts.append(out["acoustic_codes"])
+
         def process_span(start: int, length: int, ov: int) -> None:
             ext_start = max(0, start - ov)
             ext_end = min(total, start + length + ov)
@@ -654,11 +673,35 @@ class AudioTokenizationPipeline:
                 tok.maybe_seed_from_audio(seg, sr)
             out = tok.tokenize_span(seg[None, :], ext_start, start, length,
                                     ov, sr)
-            for line in self.streaming.feed_frames(
-                    out["semantic_codes"][:, 0], out["acoustic_codes"][:, 0]):
-                write(line)
-            sem_parts.append(out["semantic_codes"])
-            acc_parts.append(out["acoustic_codes"])
+            emit(out)
+
+        def process_spans(spans, ov: int) -> None:
+            """Process already-buffered spans, grouped where possible.
+            Coordinates are shifted to the buffer window; the span
+            geometry (frame-keep masks) is shift-invariant."""
+            if group_size <= 1 or len(spans) < 2:
+                for s, l in spans:
+                    process_span(s, l, ov)
+                return
+            if hasattr(tok, "maybe_seed_from_audio"):
+                # Seed exactly like the sequential path: from the first
+                # span's extended window (not the whole buffer).
+                s0, l0 = spans[0]
+                tok.maybe_seed_from_audio(
+                    buf[max(0, s0 - ov) - base:
+                        min(total, s0 + l0 + ov) - base], sr)
+            shifted = [(s - base, l) for s, l in spans]
+            plan = tok._plan_span_groups(shifted, ov, sr, total - base,
+                                         group_size, first_single=False)
+            for item in plan:
+                if len(item) == 1:
+                    s, l = item[0]
+                    process_span(s + base, l, ov)
+                    continue
+                out, metas = tok.dispatch_span_group(
+                    buf[None, :], item, ov, sr, total - base, group_size)
+                for res in tok.finalize_span_group(out, metas):
+                    emit(res)
 
         for kind, payload in gen:
             if kind == "sha256":
@@ -670,23 +713,28 @@ class AudioTokenizationPipeline:
             # fully buffered AND the stream is provably multi-span
             # (total > max_len) — exactly when the buffered path would
             # also split (chunk_spans).
-            while (total > max_len
-                   and total >= (next_span + 1) * core_len + overlap):
-                process_span(next_span * core_len, core_len, overlap)
-                next_span += 1
-                keep_from = next_span * core_len - overlap
-                if keep_from > base:
-                    buf = buf[keep_from - base:]
-                    base = keep_from
+            if total > max_len:
+                n_avail = (total - overlap) // core_len - next_span
+                if n_avail > 0:
+                    ready = [(k * core_len, core_len)
+                             for k in range(next_span, next_span + n_avail)]
+                    process_spans(ready, overlap)
+                    next_span += n_avail
+                    keep_from = next_span * core_len - overlap
+                    if keep_from > base:
+                        buf = buf[keep_from - base:]
+                        base = keep_from
 
         if next_span == 0 and total <= max_len:
             process_span(0, total, 0)  # single span, no overlap (buffered
             #                            path drops the margin too)
         else:
+            tail = []
             start = next_span * core_len
             while start < total:
-                process_span(start, min(core_len, total - start), overlap)
+                tail.append((start, min(core_len, total - start)))
                 start += core_len
+            process_spans(tail, overlap)
         encoding_time = time.time() - encode_start
 
         sem_codes = np.concatenate(sem_parts, axis=-1)

@@ -28,6 +28,10 @@ os.environ.setdefault(
 # caches (tests cover the cache machinery explicitly with tmp dirs).
 os.environ.setdefault("NAT_TPU_PARAM_CACHE", "0")
 os.environ.setdefault("NAT_TPU_AOT_CACHE", "0")
+# Stream-stdin prefetch slurps in-memory test streams instantly, which
+# would void the byte-arrival assertions (frames-before-EOF contracts);
+# tests that exercise prefetch/grouping opt back in per-test.
+os.environ.setdefault("NAT_TPU_STREAM_PREFETCH", "0")
 
 import jax
 

@@ -389,6 +389,33 @@ class TestPipelineStreamStdin:
         assert json.loads(lines[-1])["stats"]["compression_ratio"] == \
             pytest.approx(expected_ratio)
 
+    def test_prefetch_grouped_dispatch_matches_sequential(self, pipeline,
+                                                          monkeypatch):
+        """Fast-producer path: with prefetch on, multiple buffered spans
+        dispatch as one padded [G, bucket] group — emitted lines are
+        identical to the synchronous per-span path."""
+        sr = 8000
+        seconds = 95.0  # 3 interior spans + tail at the 30 s chunk limit
+        rng = np.random.default_rng(3)
+        t = np.arange(int(sr * seconds)) / sr
+        x = (0.4 * np.sin(2 * np.pi * 330 * t)
+             + 0.1 * rng.standard_normal(t.size)).astype(np.float32)
+        data = encode_wav_pcm16(x, sr)
+
+        def run(prefetch: str, group: str):
+            monkeypatch.setenv("NAT_TPU_STREAM_PREFETCH", prefetch)
+            monkeypatch.setenv("NAT_TPU_STREAM_GROUP", group)
+            lines = []
+            pipeline.stream_stdin(_TrackedStream(data),
+                                  lambda l: lines.extend(l.splitlines()))
+            return lines
+
+        sequential = run("0", "1")
+        grouped = run("256", "4")  # whole file prefetched → grouped spans
+        assert grouped[:-1] == sequential[:-1]
+        assert json.loads(grouped[-1])["stats"]["audio_sha256"] == \
+            json.loads(sequential[-1])["stats"]["audio_sha256"]
+
     def test_short_input_single_span(self, pipeline):
         data, _ = _wav_bytes(seconds=1.0, sr=8000)
         raw_audio, _ = decode_wav(data)
