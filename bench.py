@@ -165,14 +165,25 @@ def _bench_e2e_stream(spent_seconds: float, budget: float = 600.0) -> dict:
             # Same shared-backend caveat as the forward metric: best of a
             # few attempts, early-out once a clearly healthy window hits.
             elapsed = float("inf")
+            first_frame = float("inf")
             for _ in range(3):
+                t_first = [None]
                 start = time.perf_counter()
-                pipe.stream_audio(path, sink)
+
+                def timed_sink(line, _t=t_first, _s=start):
+                    if _t[0] is None and '"event":"frame"' in line:
+                        _t[0] = time.perf_counter() - _s
+                pipe.stream_audio(path, timed_sink)
                 elapsed = min(elapsed, time.perf_counter() - start)
+                if t_first[0] is not None:
+                    first_frame = min(first_frame, t_first[0])
                 if seconds / elapsed > 50.0:
                     break
                 time.sleep(10)
-        return {"e2e_stream_x_realtime": round(seconds / elapsed, 2)}
+        out = {"e2e_stream_x_realtime": round(seconds / elapsed, 2)}
+        if np.isfinite(first_frame):
+            out["e2e_first_frame_s"] = round(first_frame, 3)
+        return out
     except Exception as exc:  # never poison the primary record
         return {"e2e_stream_x_realtime": 0.0,
                 "e2e_error": f"{type(exc).__name__}: {exc}"}

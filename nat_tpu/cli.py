@@ -619,7 +619,10 @@ def _execute(args, parser, pipeline, input_files: List[str],
         input_files[0], output_format=args.format,
         enable_reconstruction=enable_reconstruction,
         streaming_mode=args.streaming,
-        ndjson_streaming=args.ndjson_streaming)
+        ndjson_streaming=args.ndjson_streaming,
+        # Feature maps feed only the visualization/analysis exports below;
+        # skip their device→host fetch on every other invocation.
+        want_features=bool(args.all_outputs and args.output_dir))
 
     output_text: Optional[str] = None
     if args.all_outputs and args.output_dir:

@@ -644,13 +644,20 @@ class NeuralAudioTokenizer:
     # ------------------------------------------------------------------
     # Public host API (reference-shaped result dict)
     # ------------------------------------------------------------------
-    def iter_chunks(self, waveform, actual_sample_rate: Optional[int] = None):
+    def iter_chunks(self, waveform, actual_sample_rate: Optional[int] = None,
+                    want_features: bool = True):
         """Tokenize incrementally: yields one dict per chunk with
         ``semantic_codes``/``acoustic_codes`` ``[N, B, t]``, optional
         ``reconstructed`` ``[B, samples]``, ``losses``, and features.
 
         This is the streaming producer: consumers can serialize each chunk's
         frames while later chunks are still on the device.
+
+        ``want_features=False`` skips the device→host fetch of the
+        ``[B, D, Tt]`` feature maps (tens of MB per span group — dwarfs the
+        token payload; on a remote-tunnel backend the transfer dominates the
+        whole forward).  Token/loss outputs are unaffected; feature entries
+        come back ``None``.
         """
         self.ensure_initialized()
         wave = np.atleast_2d(np.asarray(waveform, dtype=np.float32))
@@ -706,17 +713,18 @@ class NeuralAudioTokenizer:
                               *self.dispatch_span_group(wave, item, overlap,
                                                         sr, total, group_size))
             if pending is not None:
-                yield from self._finalize_plan_item(pending)
+                yield from self._finalize_plan_item(pending, want_features)
             pending = dispatched
         if pending is not None:
-            yield from self._finalize_plan_item(pending)
+            yield from self._finalize_plan_item(pending, want_features)
 
-    def _finalize_plan_item(self, item):
+    def _finalize_plan_item(self, item, want_features: bool = True):
         kind, out, meta = item
         if kind == "single":
-            yield self.finalize_span(out, meta)
+            yield self.finalize_span(out, meta, want_features=want_features)
         else:
-            yield from self.finalize_span_group(out, meta)
+            yield from self.finalize_span_group(out, meta,
+                                                want_features=want_features)
 
     def _stream_group_size(self) -> int:
         """Spans per batched dispatch on the chunked streaming path.
@@ -792,14 +800,22 @@ class NeuralAudioTokenizer:
                       jnp.asarray(stacked), rng)
         return out, metas
 
-    def finalize_span_group(self, out: Dict, metas: List["SpanMeta"]):
+    def finalize_span_group(self, out: Dict, metas: List["SpanMeta"],
+                            want_features: bool = True):
         """Fetch one group's stacked outputs (single device→host transfer
-        per key) and finalize each real row in span order."""
+        per key) and finalize each real row in span order.
+        ``want_features=False`` leaves the feature maps on device (entries
+        ``None``) — the big win for token-only consumers, since features
+        are ~99% of a group's output bytes."""
+        keys = ["semantic_codes", "acoustic_codes", "reconstructed"]
+        if want_features:
+            keys += ["semantic_features", "acoustic_features"]
         fetched = {
             k: (None if out.get(k) is None else np.asarray(out[k]))
-            for k in ("semantic_codes", "acoustic_codes", "reconstructed",
-                      "semantic_features", "acoustic_features")
+            for k in keys
         }
+        fetched.setdefault("semantic_features", None)
+        fetched.setdefault("acoustic_features", None)
         losses = {k: float(v) for k, v in out["losses"].items()}
         for g, meta in enumerate(metas):
             row = {
@@ -831,10 +847,12 @@ class NeuralAudioTokenizer:
         return chunk, SpanMeta(ext_start, start, length, overlap, sr,
                                ext_len, bucket)
 
-    def finalize_span(self, out: Dict, meta: "SpanMeta") -> Dict:
+    def finalize_span(self, out: Dict, meta: "SpanMeta",
+                      want_features: bool = True) -> Dict:
         """Slice one span's raw forward output (host numpy arrays, shapes
         ``codes [N, B, Tt]`` / ``reconstructed [B, S]``) down to the frames
-        whose centers fall inside the span's own extent."""
+        whose centers fall inside the span's own extent.
+        ``want_features=False`` skips fetching the feature maps."""
         valid_t = self._target_frames(meta.ext_len, meta.sr)
         sem = np.asarray(out["semantic_codes"])[:, :, :valid_t]
         acc = np.asarray(out["acoustic_codes"])[:, :, :valid_t]
@@ -854,7 +872,7 @@ class NeuralAudioTokenizer:
                 recon = recon[:, lo:lo + meta.length]
             reconstructed = recon
         def _feat(key):
-            f = out.get(key)
+            f = out.get(key) if want_features else None
             return None if f is None else np.asarray(f)
 
         return {
@@ -882,21 +900,25 @@ class NeuralAudioTokenizer:
         return out, meta
 
     def tokenize_span(self, chunk: np.ndarray, ext_start: int, start: int,
-                      length: int, overlap: int, sr: int) -> Dict:
+                      length: int, overlap: int, sr: int,
+                      want_features: bool = True) -> Dict:
         """Tokenize one overlap-extended span (``chunk`` = samples
         ``[ext_start : start+length+overlap]``); returns the per-chunk dict
         :meth:`iter_chunks` yields.  Also the building block of the
         streaming-stdin path, which produces spans incrementally."""
         return self.finalize_span(*self.dispatch_span(
-            chunk, ext_start, start, length, overlap, sr))
+            chunk, ext_start, start, length, overlap, sr),
+            want_features=want_features)
 
-    def __call__(self, waveform, actual_sample_rate: Optional[int] = None) -> Dict:
+    def __call__(self, waveform, actual_sample_rate: Optional[int] = None,
+                 want_features: bool = True) -> Dict:
         sem_parts: List[np.ndarray] = []
         acc_parts: List[np.ndarray] = []
         recon_parts: List[np.ndarray] = []
         losses: Dict[str, float] = {}
-        last_out: Dict = {}
-        for out in self.iter_chunks(waveform, actual_sample_rate):
+        last_out: Dict = {"semantic_features": None, "acoustic_features": None}
+        for out in self.iter_chunks(waveform, actual_sample_rate,
+                                    want_features=want_features):
             sem_parts.append(out["semantic_codes"])
             acc_parts.append(out["acoustic_codes"])
             if out["reconstructed"] is not None:

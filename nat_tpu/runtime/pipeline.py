@@ -307,10 +307,16 @@ class AudioTokenizationPipeline:
         ndjson_streaming: bool = False,
         _preloaded: Optional[Tuple[np.ndarray, int]] = None,
         _pretokenized: Optional[Tuple[Dict, float]] = None,
+        want_features: bool = True,
     ) -> Dict[str, Any]:
         """``_preloaded``/``_pretokenized`` inject results computed by the
         data-parallel batch path (:meth:`_tokenize_many`); metering,
-        evaluation, and serialization stay identical to the sequential path."""
+        evaluation, and serialization stay identical to the sequential path.
+
+        ``want_features=False`` skips the device→host fetch of the feature
+        maps (``tokenizer_result`` then carries ``None`` features) — pass it
+        whenever visualization/analysis won't run; tokens, metrics, and all
+        serialized outputs are unaffected."""
         logger.info(f"Processing: {file_path}")
         start_time = time.time()
         self.budget_meter.reset()
@@ -337,7 +343,13 @@ class AudioTokenizationPipeline:
                 self.tokenizer.maybe_seed_from_audio(audio, sr)
             encode_start = time.time()
             with annotate("nat/tokenize"):
-                result = self.tokenizer(audio[None, :], actual_sample_rate=sr)
+                if hasattr(self.tokenizer, "iter_chunks"):
+                    result = self.tokenizer(audio[None, :],
+                                            actual_sample_rate=sr,
+                                            want_features=want_features)
+                else:  # compat tokenizer: host-side, no fetch to skip
+                    result = self.tokenizer(audio[None, :],
+                                            actual_sample_rate=sr)
             encoding_time = time.time() - encode_start
 
         semantic_codes = result["semantic_codes"]
@@ -502,8 +514,12 @@ class AudioTokenizationPipeline:
         recon_parts = []
         encode_start = time.time()
         with annotate("nat/tokenize"):
+            # want_features=False: the NDJSON frame path only needs codes;
+            # feature maps are ~99% of a span group's output bytes and the
+            # fetch would serialize against the next group's compute.
             for out in self.tokenizer.iter_chunks(audio[None, :],
-                                                  actual_sample_rate=sr):
+                                                  actual_sample_rate=sr,
+                                                  want_features=False):
                 sem, acc = out["semantic_codes"], out["acoustic_codes"]
                 for line in self.streaming.feed_frames(sem[:, 0], acc[:, 0]):
                     write(line)
@@ -672,7 +688,7 @@ class AudioTokenizationPipeline:
             if hasattr(tok, "maybe_seed_from_audio"):
                 tok.maybe_seed_from_audio(seg, sr)
             out = tok.tokenize_span(seg[None, :], ext_start, start, length,
-                                    ov, sr)
+                                    ov, sr, want_features=False)
             emit(out)
 
         def process_spans(spans, ov: int) -> None:
@@ -700,7 +716,8 @@ class AudioTokenizationPipeline:
                     continue
                 out, metas = tok.dispatch_span_group(
                     buf[None, :], item, ov, sr, total - base, group_size)
-                for res in tok.finalize_span_group(out, metas):
+                for res in tok.finalize_span_group(out, metas,
+                                                   want_features=False):
                     emit(res)
 
         for kind, payload in gen:
