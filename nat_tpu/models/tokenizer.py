@@ -810,13 +810,14 @@ class NeuralAudioTokenizer:
         keys = ["semantic_codes", "acoustic_codes", "reconstructed"]
         if want_features:
             keys += ["semantic_features", "acoustic_features"]
-        fetched = {
-            k: (None if out.get(k) is None else np.asarray(out[k]))
-            for k in keys
-        }
+        # One device_get over the whole group: async host copies start for
+        # every leaf before the first blocking read, so the tunnel's
+        # per-transfer latency is paid once, not once per key.
+        fetched = jax.device_get({**{k: out.get(k) for k in keys},
+                                  "losses": out["losses"]})
         fetched.setdefault("semantic_features", None)
         fetched.setdefault("acoustic_features", None)
-        losses = {k: float(v) for k, v in out["losses"].items()}
+        losses = {k: float(v) for k, v in fetched.pop("losses").items()}
         for g, meta in enumerate(metas):
             row = {
                 "semantic_codes": fetched["semantic_codes"][:, g:g + 1],
@@ -853,6 +854,15 @@ class NeuralAudioTokenizer:
         ``codes [N, B, Tt]`` / ``reconstructed [B, S]``) down to the frames
         whose centers fall inside the span's own extent.
         ``want_features=False`` skips fetching the feature maps."""
+        # Single batched device_get (async copies overlap the tunnel's
+        # per-transfer latency); rows arriving from finalize_span_group are
+        # already numpy and pass through untouched.
+        feat_keys = (("semantic_features", "acoustic_features")
+                     if want_features else ())
+        out = dict(out, **jax.device_get(
+            {k: out.get(k)
+             for k in ("semantic_codes", "acoustic_codes", "reconstructed",
+                       "losses", *feat_keys)}))
         valid_t = self._target_frames(meta.ext_len, meta.sr)
         sem = np.asarray(out["semantic_codes"])[:, :, :valid_t]
         acc = np.asarray(out["acoustic_codes"])[:, :, :valid_t]
