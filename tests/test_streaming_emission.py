@@ -165,3 +165,35 @@ def test_span_group_tokens_identical_tokenizer_level(monkeypatch):
     np.testing.assert_array_equal(
         np.stack([np.asarray(c) for c in seq["acoustic_codes"]]),
         np.stack([np.asarray(c) for c in grp["acoustic_codes"]]))
+
+
+def test_want_features_false_skips_fetch_keeps_tokens(monkeypatch):
+    """``want_features=False`` (the token-only fast path used by the
+    streaming CLI) must leave feature entries ``None`` while producing
+    identical codes and losses, on both single and grouped dispatch."""
+    from nat_tpu.models.tokenizer import NeuralAudioTokenizer
+
+    sr = 4000
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(int(sr * 90)).astype(np.float32) * 0.3
+
+    monkeypatch.setenv("NAT_TPU_STREAM_GROUP", "4")
+    tok = NeuralAudioTokenizer(
+        sample_rate=sr, codebook_size=64, semantic_dim=32,
+        acoustic_dim=32, n_mels=16, enable_codebook_cache=False,
+        use_pretrained_semantic=False, codebook_init_method="random",
+        enable_reconstruction=False)
+    with_f = tok(x[None, :], want_features=True)
+    without_f = tok(x[None, :], want_features=False)
+
+    assert with_f["semantic_features"] is not None
+    assert with_f["acoustic_features"] is not None
+    assert without_f["semantic_features"] is None
+    assert without_f["acoustic_features"] is None
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(c) for c in with_f["semantic_codes"]]),
+        np.stack([np.asarray(c) for c in without_f["semantic_codes"]]))
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(c) for c in with_f["acoustic_codes"]]),
+        np.stack([np.asarray(c) for c in without_f["acoustic_codes"]]))
+    assert with_f["losses"] == without_f["losses"]
