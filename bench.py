@@ -177,7 +177,7 @@ def _bench_e2e_stream(spent_seconds: float, budget: float = 600.0) -> dict:
                 elapsed = min(elapsed, time.perf_counter() - start)
                 if t_first[0] is not None:
                     first_frame = min(first_frame, t_first[0])
-                if seconds / elapsed > 50.0:
+                if seconds / elapsed > 150.0:   # clearly healthy (typ. ~220x)
                     break
                 time.sleep(10)
         out = {"e2e_stream_x_realtime": round(seconds / elapsed, 2)}

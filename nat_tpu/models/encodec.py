@@ -240,7 +240,16 @@ class EncodecFeatureBridge:
         self.params: Optional[Dict] = None
         state = load_local_state_dict(model_name)
         if state is not None:
-            self.params = convert_encoder_params(state, ratios)
+            import jax
+            import numpy as np
+
+            # device-resident: repeated feature extractions must not
+            # re-upload the converted checkpoint on every jitted call.
+            # The tree mixes arrays with structural tags (layer kinds);
+            # transfer only the arrays.
+            self.params = jax.tree.map(
+                lambda x: jax.device_put(x) if isinstance(x, np.ndarray)
+                else x, convert_encoder_params(state, ratios))
         if self.params is None:
             logger.info(f"EnCodec checkpoint {model_name} unavailable; "
                         "feature bridge disabled")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import jax
 import numpy as np
 
 from ..utils.logging import logger
@@ -84,7 +85,9 @@ def load_model(path: str, tokenizer) -> bool:
     if bool(config.get("semantic_fallback")) != tokenizer.semantic_fallback:
         logger.warn("Checkpoint semantic-encoder variant differs; skipping")
         return False
-    tokenizer.params = payload["params"]
+    # device_put: the pickled pytree is host numpy; device-resident params
+    # keep jitted forwards from re-uploading the full tree every call.
+    tokenizer.params = jax.device_put(payload["params"])
     tokenizer.sem_rvq = RVQState(**{
         k: jnp.asarray(v) for k, v in payload["sem_rvq"].items()})
     tokenizer.acc_rvq = RVQState(**{

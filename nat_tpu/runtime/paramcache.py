@@ -4,8 +4,11 @@
 ``init`` programs on the device (measured ~37 s on the driver backend) to
 produce parameters that are fully determined by (seed, architecture,
 checkpoint identity).  This cache persists the resulting pytree as numpy
-arrays so warm processes skip every init jit: load + lazy device transfer
-is ~1 s.
+arrays so warm processes skip every init jit: load + one device transfer
+is ~1 s.  Callers MUST ``jax.device_put`` the restored tree before use —
+jitted functions do NOT cache host→device transfers across calls, so
+numpy params would re-upload the full tree (~430 MB for wav2vec2-base)
+on every forward (measured 9 s/call through the tunneled backend).
 
 Invalidation mirrors :mod:`nat_tpu.runtime.aotcache`: the key hashes the
 model-defining module sources, the backend platform (init numerics can

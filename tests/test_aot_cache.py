@@ -84,6 +84,22 @@ class TestParamCache:
 
         assert paramcache.cache_enabled() is False  # conftest sets =0
 
+    def test_restored_params_are_device_resident(self, tmp_path,
+                                                 monkeypatch):
+        """Cache-restored params must be jax Arrays, not host numpy —
+        numpy leaves re-upload the full pytree (~430 MB for w2v2-base)
+        on EVERY jitted forward call (measured 9 s/call on the tunneled
+        TPU backend vs 0.09 s device-resident)."""
+        monkeypatch.setenv("NAT_TPU_PARAM_CACHE", "1")
+        monkeypatch.setenv("NAT_TPU_PARAM_CACHE_DIR", str(tmp_path))
+        import jax
+
+        _tokenizer().ensure_initialized()        # populates the cache
+        tok = _tokenizer()
+        tok.ensure_initialized()                  # restores from cache
+        for leaf in jax.tree.leaves(tok.params):
+            assert isinstance(leaf, jax.Array), type(leaf)
+
 
 class TestAotExecutableCache:
     def test_roundtrip_identical_tokens(self, tmp_path, monkeypatch, wave):
