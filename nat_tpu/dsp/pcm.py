@@ -1,0 +1,126 @@
+"""Lossless int16 wire transport for PCM16-sourced audio.
+
+The dominant cost of chunked tokenization on a bandwidth-limited
+host↔device link is uploading the waveform (float32).  Most product audio
+is 16-bit PCM, and the load pipeline's float32 is exactly
+``(i16 / 32768) / d`` with ``d = peak + 1e-8`` (io/audio.py
+peak_normalize, reference parity) — two float32 ops whose inputs are
+recoverable.  When that inversion verifies **bitwise** on the host AND the
+device's division is proven exact over the full 65,536-value int16 range
+for this divisor, chunks ride the wire as int16 (half the bytes) and a
+tiny device program reproduces the identical float32 samples.
+
+Any mismatch anywhere falls back silently to float32 transport — the
+optimization is invisible except for wall-clock.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_F32_32768 = np.float32(32768.0)
+
+
+def recover_pcm16(wave: np.ndarray) -> Optional[Tuple[np.ndarray, np.float32]]:
+    """Invert ``peak_normalize(i16 / 32768)`` if ``wave`` came from it.
+
+    Returns ``(i16 [same shape], divisor)`` with the bitwise guarantee
+    ``(i16.astype(f32) / 32768) / divisor == wave`` (verified over every
+    sample), or None when the wave is not PCM16-derived (float sources,
+    stereo mixdowns, host resampling, arbitrary arrays).
+    """
+    if wave.dtype != np.float32 or wave.size == 0:
+        return None
+    wave = np.ascontiguousarray(wave)
+    amax = float(np.abs(wave).max())
+    if not (0.0 < amax <= 1.0) or not np.isfinite(amax):
+        return None
+    flat = np.abs(wave.reshape(-1).astype(np.float64))
+
+    # peak_normalize maps the PEAK to ~1.0 for every M (= max|i16|), so M
+    # cannot be read off the maximum.  Instead, screen all 32768 candidate
+    # M values at once against a few reference samples: for the true M,
+    # every sample satisfies |w| ≈ (k/32768)/d with integer k, to within
+    # half a float32 ulp.  Two or three references of distinct magnitude
+    # prune the candidates to a handful; the full-file bitwise check below
+    # is the authoritative gate.
+    m_all = np.arange(1, 32769, dtype=np.float64)
+    # d in float32 arithmetic is f32(f32(M/32768) + 1e-8); replicate
+    # exactly via float32 casts.
+    d_all = np.float32(np.float32(m_all / 32768.0) + np.float32(1e-8)
+                       ).astype(np.float64)
+
+    nz = flat[flat > 0]
+    if nz.size == 0:
+        return None
+    refs = np.unique(np.quantile(nz, [0.0, 0.5, 1.0], method="nearest"))
+    alive = np.ones(m_all.size, dtype=bool)
+    for w_ref in refs:
+        k = np.rint(w_ref * 32768.0 * d_all)
+        ok = (k >= 1) & (k <= m_all)
+        err = np.abs((k / 32768.0) / d_all - w_ref)
+        alive &= ok & (err <= 1.2e-7 * w_ref)
+        if not alive.any():
+            return None
+    survivors = [(int(m), True) for m in (np.nonzero(alive)[0] + 1)[:8]]
+    # Un-normalized PCM16 (e.g. --stream-stdin skips global peak
+    # normalization): plain i16/32768, i.e. divisor exactly 1.0 with no
+    # max|i16| constraint.
+    survivors.append((32768, False))
+    for m, need_peak in survivors:
+        divisor = np.float32(np.float32(m) / _F32_32768 + np.float32(1e-8))
+        if divisor <= 0:
+            continue
+        # float64 inversion: |error| << 0.5 over the int16 range, so rint
+        # recovers the exact integers if this m is right.
+        cand = np.rint(wave.astype(np.float64) * (float(divisor) * 32768.0))
+        if need_peak:
+            if np.abs(cand).max() != m:
+                continue
+        elif cand.max() > 32767 or cand.min() < -32768:
+            continue
+        i16 = cand.astype(np.int16)
+        rebuilt = (i16.astype(np.float32) / _F32_32768) / divisor
+        if np.array_equal(rebuilt.view(np.uint32), wave.view(np.uint32)):
+            return i16, divisor
+    return None
+
+
+_device_exact_cache: Dict[Tuple[str, float], bool] = {}
+
+
+def device_conversion_exact(divisor: np.float32) -> bool:
+    """Prove the device computes ``(i16→f32 / 32768) / divisor`` bitwise
+    identically to the host for EVERY possible int16 value (one 64 K-point
+    round trip per (backend, divisor), cached).  XLA may lower division as
+    reciprocal+refinement on some backends, so exactness is checked, not
+    assumed."""
+    import jax
+    import jax.numpy as jnp
+
+    key = (jax.default_backend(), float(divisor))
+    hit = _device_exact_cache.get(key)
+    if hit is not None:
+        return hit
+    vals = np.arange(-32768, 32768, dtype=np.int16)
+    host = (vals.astype(np.float32) / _F32_32768) / divisor
+    try:
+        dev = np.asarray(jax.jit(convert_on_device)(
+            jnp.asarray(vals), jnp.float32(divisor)))
+        ok = np.array_equal(dev.view(np.uint32), host.view(np.uint32))
+    except Exception:
+        ok = False
+    if len(_device_exact_cache) > 64:
+        _device_exact_cache.clear()
+    _device_exact_cache[key] = ok
+    return ok
+
+
+def convert_on_device(i16, divisor):
+    """The device-side inverse: int16 chunk → the pipeline's float32.
+    Jit-able; called inside the per-bucket conversion programs."""
+    import jax.numpy as jnp
+
+    return (i16.astype(jnp.float32) / 32768.0) / divisor

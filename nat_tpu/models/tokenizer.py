@@ -195,6 +195,7 @@ class NeuralAudioTokenizer:
         self.acc_rvq: Optional[RVQState] = None
         self._forward_cache: Dict[Any, Any] = {}
         self._decode_jit = None  # jitted decode_tokens (lazy)
+        self._pcm16_cvt = None   # jitted int16-wire converter (lazy)
         self._needs_audio_seeding = False
         self._rng = jax.random.PRNGKey(seed)
 
@@ -699,12 +700,24 @@ class NeuralAudioTokenizer:
         # forward's throughput.  Rows are independent (batch-elementwise
         # programs; asserted byte-identical to sequential in
         # tests/test_streaming_emission.py), zero rows pad the tail group
-        # to the fixed G so only two programs exist per bucket.  Argmin
-        # mode only: stochastic mode keeps the per-span rng stream.
+        # to the next power of two ≤ G, bounding program shapes per bucket
+        # at log2(G)+2 (all AOT-cached) without shipping whole zero
+        # buckets over the wire.  Argmin mode only: stochastic mode keeps
+        # the per-span rng stream.
         group_size = self._stream_group_size()
         if self.stochastic or wave.shape[0] != 1:
             group_size = 1
         plan = self._plan_span_groups(spans, overlap, sr, total, group_size)
+
+        # int16 wire transport: when the wave is provably PCM16-derived
+        # (dsp/pcm.py recovers the exact integers + divisor and the device
+        # conversion is proven bitwise-exact), spans ride the link at half
+        # the bytes — uploads dominate chunked tokenization on
+        # bandwidth-limited backends.  Token streams are bit-identical.
+        src, divisor = wave, None
+        wire = self._pcm16_wire(wave)
+        if wire is not None:
+            src, divisor = wire
 
         pending = None  # ('single'|'group', raw output, meta(s))
         for item in plan:
@@ -713,13 +726,15 @@ class NeuralAudioTokenizer:
                 ext_start = max(0, start - overlap)
                 ext_end = min(total, start + length + overlap)
                 dispatched = ("single",
-                              *self.dispatch_span(wave[:, ext_start:ext_end],
+                              *self.dispatch_span(src[:, ext_start:ext_end],
                                                   ext_start, start, length,
-                                                  overlap, sr))
+                                                  overlap, sr,
+                                                  pcm_divisor=divisor))
             else:
                 dispatched = ("group",
-                              *self.dispatch_span_group(wave, item, overlap,
-                                                        sr, total, group_size))
+                              *self.dispatch_span_group(src, item, overlap,
+                                                        sr, total, group_size,
+                                                        pcm_divisor=divisor))
             if pending is not None:
                 yield from self._finalize_plan_item(pending, want_features)
             pending = dispatched
@@ -784,8 +799,42 @@ class NeuralAudioTokenizer:
             i = j
         return items
 
+    def _pcm16_wire(self, wave: np.ndarray):
+        """int16 transport handle for PCM16-derived waves (see dsp/pcm.py);
+        None = float32 transport.  Off on CPU backends (no wire to save)
+        unless NAT_TPU_PCM16_WIRE=1 forces it; =0 disables everywhere."""
+        env = os.environ.get("NAT_TPU_PCM16_WIRE")
+        if env == "0":
+            return None
+        if env != "1":
+            try:
+                if all(d.platform == "cpu" for d in jax.devices()):
+                    return None
+            except Exception:
+                return None
+        from ..dsp import pcm
+
+        rec = pcm.recover_pcm16(wave)
+        if rec is None:
+            return None
+        if not pcm.device_conversion_exact(rec[1]):
+            return None
+        return rec
+
+    def _to_device_f32(self, chunk: np.ndarray, pcm_divisor):
+        """Upload one prepared chunk; int16 wire chunks are converted to
+        the pipeline's exact float32 by a tiny device program."""
+        dev = jnp.asarray(chunk)
+        if chunk.dtype == np.int16:
+            from ..dsp import pcm
+
+            if self._pcm16_cvt is None:
+                self._pcm16_cvt = jax.jit(pcm.convert_on_device)
+            dev = self._pcm16_cvt(dev, jnp.float32(pcm_divisor))
+        return dev
+
     def dispatch_span_group(self, wave, group, overlap, sr, total,
-                            group_size):
+                            group_size, pcm_divisor=None):
         """Enqueue one batched forward over ``group``'s spans (all the same
         bucket; zero rows pad to ``group_size``).  Returns
         ``(raw_output, List[SpanMeta])`` for :meth:`finalize_span_group`."""
@@ -799,13 +848,21 @@ class NeuralAudioTokenizer:
             chunks.append(chunk)
             metas.append(meta)
         stacked = np.concatenate(chunks, axis=0)
-        if stacked.shape[0] < group_size:
+        # Pad to the next power of two (≤ group_size) rather than always to
+        # group_size: zero rows ride the wire too, and a 3-span tail padded
+        # to 8 uploads 5 buckets of zeros.  Program-shape count stays
+        # bounded at log2(G)+1 per bucket (all AOT-cached).
+        target = 1
+        while target < stacked.shape[0]:
+            target *= 2
+        target = min(target, group_size)
+        if stacked.shape[0] < target:
             stacked = np.pad(
-                stacked, ((0, group_size - stacked.shape[0]), (0, 0)))
+                stacked, ((0, target - stacked.shape[0]), (0, 0)))
         forward, _ = self._forward_for(metas[0].bucket, sr)
         self._rng, rng = jax.random.split(self._rng)
         out = forward(self.params, self.sem_rvq, self.acc_rvq,
-                      jnp.asarray(stacked), rng)
+                      self._to_device_f32(stacked, pcm_divisor), rng)
         return out, metas
 
     def finalize_span_group(self, out: Dict, metas: List["SpanMeta"],
@@ -848,7 +905,9 @@ class NeuralAudioTokenizer:
         ``(padded_chunk [B, bucket], SpanMeta)``.  Pure host-side prep —
         the data-parallel runner uses it to build cross-file batches whose
         rows are bit-identical to the sequential path's inputs."""
-        chunk = np.atleast_2d(np.asarray(chunk, dtype=np.float32))
+        chunk = np.atleast_2d(np.asarray(chunk))
+        if chunk.dtype != np.int16:    # int16 = wire transport (dsp/pcm.py)
+            chunk = chunk.astype(np.float32, copy=False)
         ext_len = chunk.shape[-1]
         bucket = bucket_length(ext_len, sr)
         if ext_len < bucket:
@@ -903,7 +962,8 @@ class NeuralAudioTokenizer:
         }
 
     def dispatch_span(self, chunk: np.ndarray, ext_start: int, start: int,
-                      length: int, overlap: int, sr: int):
+                      length: int, overlap: int, sr: int,
+                      pcm_divisor=None):
         """Enqueue one span's forward on the device WITHOUT fetching;
         returns ``(raw_output, SpanMeta)`` for a later
         :meth:`finalize_span`.  JAX dispatch is asynchronous, so callers
@@ -914,18 +974,19 @@ class NeuralAudioTokenizer:
         forward, _ = self._forward_for(meta.bucket, sr)
         self._rng, rng = jax.random.split(self._rng)
         out = forward(self.params, self.sem_rvq, self.acc_rvq,
-                      jnp.asarray(chunk), rng)
+                      self._to_device_f32(chunk, pcm_divisor), rng)
         return out, meta
 
     def tokenize_span(self, chunk: np.ndarray, ext_start: int, start: int,
                       length: int, overlap: int, sr: int,
-                      want_features: bool = True) -> Dict:
+                      want_features: bool = True, pcm_divisor=None) -> Dict:
         """Tokenize one overlap-extended span (``chunk`` = samples
         ``[ext_start : start+length+overlap]``); returns the per-chunk dict
         :meth:`iter_chunks` yields.  Also the building block of the
         streaming-stdin path, which produces spans incrementally."""
         return self.finalize_span(*self.dispatch_span(
-            chunk, ext_start, start, length, overlap, sr),
+            chunk, ext_start, start, length, overlap, sr,
+            pcm_divisor=pcm_divisor),
             want_features=want_features)
 
     def __call__(self, waveform, actual_sample_rate: Optional[int] = None,

@@ -681,14 +681,25 @@ class AudioTokenizationPipeline:
             sem_parts.append(out["semantic_codes"])
             acc_parts.append(out["acoustic_codes"])
 
+        def wire_for(seg: np.ndarray):
+            """int16 wire transport for this segment when provably
+            lossless (stdin audio skips peak normalization, so PCM16
+            payloads recover with divisor 1.0 — see dsp/pcm.py)."""
+            if hasattr(tok, "_pcm16_wire"):
+                return tok._pcm16_wire(seg)
+            return None
+
         def process_span(start: int, length: int, ov: int) -> None:
             ext_start = max(0, start - ov)
             ext_end = min(total, start + length + ov)
             seg = buf[ext_start - base: ext_end - base]
             if hasattr(tok, "maybe_seed_from_audio"):
                 tok.maybe_seed_from_audio(seg, sr)
-            out = tok.tokenize_span(seg[None, :], ext_start, start, length,
-                                    ov, sr, want_features=False)
+            wire = wire_for(seg[None, :])
+            src, div = wire if wire is not None else (seg[None, :], None)
+            out = tok.tokenize_span(src, ext_start, start, length,
+                                    ov, sr, want_features=False,
+                                    pcm_divisor=div)
             emit(out)
 
         def process_spans(spans, ov: int) -> None:
@@ -709,13 +720,16 @@ class AudioTokenizationPipeline:
             shifted = [(s - base, l) for s, l in spans]
             plan = tok._plan_span_groups(shifted, ov, sr, total - base,
                                          group_size, first_single=False)
+            wire = wire_for(buf[None, :])
+            src, div = wire if wire is not None else (buf[None, :], None)
             for item in plan:
                 if len(item) == 1:
                     s, l = item[0]
                     process_span(s + base, l, ov)
                     continue
                 out, metas = tok.dispatch_span_group(
-                    buf[None, :], item, ov, sr, total - base, group_size)
+                    src, item, ov, sr, total - base, group_size,
+                    pcm_divisor=div)
                 for res in tok.finalize_span_group(out, metas,
                                                    want_features=False):
                     emit(res)
