@@ -27,6 +27,7 @@ __all__ = [
     "TokenizationEvaluator",
     "Trainer",
     "DataParallelRunner",
+    "TokenServer",
 ]
 
 
@@ -77,4 +78,8 @@ def __getattr__(name):
         from .parallel.runner import DataParallelRunner
 
         return DataParallelRunner
+    if name == "TokenServer":
+        from .runtime.server import TokenServer
+
+        return TokenServer
     raise AttributeError(f"module 'nat_tpu' has no attribute {name!r}")

@@ -59,6 +59,13 @@ Examples:
                              "global peak normalization, header "
                              "audio_sha256 is null — raw digest lands in "
                              "end.stats)")
+    parser.add_argument("--serve", metavar="ADDR",
+                        help="Run as a long-lived tokenizer server on ADDR "
+                             "(unix:/path, HOST:PORT, or :PORT). Each "
+                             "connection speaks the --stream-stdin protocol: "
+                             "client streams audio bytes (FS-delimited "
+                             "multi-file ok), half-closes, reads NDJSON "
+                             "back; frames emit before EOF")
     parser.add_argument("--decode-tokens", action="store_true",
                         help="Inverse mode: treat inputs as lam_audio_tokens "
                              "NDJSON streams and decode them back to audio "
@@ -353,6 +360,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.decode_tokens and args.no_reconstruction:
         parser.error("--decode-tokens requires the reconstruction decoder "
                      "(drop --no-reconstruction)")
+    if args.serve:
+        if (args.input_files or args.stdin or args.stream_stdin
+                or args.batch or args.decode_tokens):
+            parser.error("--serve runs a standalone daemon (no file "
+                         "arguments, --stdin, --stream-stdin, --batch, or "
+                         "--decode-tokens)")
+        from .runtime.server import parse_address
+
+        try:
+            parse_address(args.serve)
+        except ValueError as exc:
+            parser.error(str(exc))
 
     # Model configuration: config file < CLI flags.
     model_config: Dict = {}
@@ -418,6 +437,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.decode_tokens:
         return run_decode_tokens(args, pipeline, parser)
+
+    if args.serve:
+        from .runtime.server import run_server
+
+        return run_server(pipeline, args.serve)
 
     # -- input routing (reference 5482-5582) -------------------------------
     input_files: List[str] = []

@@ -22,7 +22,9 @@ Counterpart of reference `NeuralAudioTokenizer` (neural_audio_tokenizer.py:
 
 from __future__ import annotations
 
+import functools
 import os
+import threading
 from pathlib import Path
 from typing import Any, Dict, List, NamedTuple, Optional
 
@@ -99,6 +101,20 @@ class _AotForwardDispatch:
                 exe = self.jitted
             self._compiled[shape] = exe
         return exe(params, sem_rvq, acc_rvq, wave, rng)
+
+
+def _locked(fn):
+    """Serialize tokenizer-mutating entry points (init, seeding, span
+    dispatch) on ``self._device_lock`` so concurrent serving sessions
+    (runtime/server.py) can share one tokenizer: the RNG split, the lazy
+    compile caches, and codebook seeding are the only mutable state, and
+    each is confined to a decorated method.  Reentrant — dispatch paths
+    call each other — and free when uncontended (single-session CLI)."""
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._device_lock:
+            return fn(self, *args, **kwargs)
+    return wrapper
 
 
 class NeuralAudioTokenizer:
@@ -198,6 +214,7 @@ class NeuralAudioTokenizer:
         self._pcm16_cvt = None   # jitted int16-wire converter (lazy)
         self._needs_audio_seeding = False
         self._rng = jax.random.PRNGKey(seed)
+        self._device_lock = threading.RLock()
 
     # ------------------------------------------------------------------
     # Initialization phase
@@ -226,6 +243,7 @@ class NeuralAudioTokenizer:
                 output_dim=self.semantic_dim)
             self.semantic_fallback = True
 
+    @_locked
     def ensure_initialized(self) -> None:
         if self.params is not None:
             return
@@ -431,6 +449,7 @@ class NeuralAudioTokenizer:
     # ------------------------------------------------------------------
     # Feature-driven seeding (needs input audio)
     # ------------------------------------------------------------------
+    @_locked
     def maybe_seed_from_audio(self, audio, sample_rate: int) -> None:
         """Seed codebooks by k-means over features of the *input audio* —
         the working version of the reference's legacy EnCodec init
@@ -833,6 +852,7 @@ class NeuralAudioTokenizer:
             dev = self._pcm16_cvt(dev, jnp.float32(pcm_divisor))
         return dev
 
+    @_locked
     def dispatch_span_group(self, wave, group, overlap, sr, total,
                             group_size, pcm_divisor=None):
         """Enqueue one batched forward over ``group``'s spans (all the same
@@ -961,6 +981,7 @@ class NeuralAudioTokenizer:
             "acoustic_features": _feat("acoustic_features"),
         }
 
+    @_locked
     def dispatch_span(self, chunk: np.ndarray, ext_start: int, start: int,
                       length: int, overlap: int, sr: int,
                       pcm_divisor=None):

@@ -177,7 +177,7 @@ class AudioTokenizationPipeline:
 
         self.evaluator = TokenizationEvaluator(self.sample_rate)
         self.formatter = TokenFormatter()
-        self.streaming = StreamingProtocol(
+        self._streaming_kwargs = dict(
             sample_rate=self.sample_rate,
             hop_length=hop_length,
             rle_mode=rle_mode,
@@ -190,6 +190,7 @@ class AudioTokenizationPipeline:
             include_legend=include_legend,
             compat_mode=self.compat_mode,
         )
+        self.streaming = StreamingProtocol(**self._streaming_kwargs)
         self.budget_meter = TokenBudgetMeter(self.sample_rate, hop_length)
 
         logger.info(f"Initialized nat-tpu pipeline {VERSION} "
@@ -227,6 +228,25 @@ class AudioTokenizationPipeline:
 
             load_model(self.model_path, tok)
         return tok
+
+    # ------------------------------------------------------------------
+    def session(self) -> "AudioTokenizationPipeline":
+        """A per-connection view for concurrent serving (runtime/server.py):
+        shares the heavy tokenizer (its own ``_device_lock`` serializes
+        mutation — RNG splits, lazy compiles, seeding) but gets fresh
+        host-side serialization state, so interleaved connections cannot
+        corrupt each other's NDJSON streams, budget counters, or metric
+        accumulators.  Cheap: no device work, no compiles."""
+        import copy
+
+        s = copy.copy(self)
+        s.evaluator = TokenizationEvaluator(self.sample_rate)
+        s.formatter = TokenFormatter()
+        s.streaming = StreamingProtocol(**self._streaming_kwargs)
+        s.budget_meter = TokenBudgetMeter(
+            self.sample_rate, self._streaming_kwargs["hop_length"])
+        s._temp_files = []
+        return s
 
     # ------------------------------------------------------------------
     def load_audio(self, file_path: str,

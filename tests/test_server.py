@@ -1,0 +1,170 @@
+"""Socket serving front-end (`nat --serve`, runtime/server.py).
+
+Contract: each connection speaks the --stream-stdin protocol — client
+streams audio bytes (FS-delimited multi-file ok), half-closes, reads one
+complete NDJSON stream per file back, byte-identical (modulo end.stats
+timings) to `pipeline.stream_stdin` over the same bytes.  Concurrent
+connections share one tokenizer without corrupting each other's streams.
+"""
+
+import io
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from nat_tpu.io.audio import encode_wav_pcm16
+from nat_tpu.runtime.server import parse_address
+
+
+def _wav_bytes(seconds=1.0, sr=8000, freq=440.0):
+    t = np.arange(int(sr * seconds)) / sr
+    x = (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    return encode_wav_pcm16(x, sr)
+
+
+class TestParseAddress:
+    def test_unix(self):
+        assert parse_address("unix:/tmp/x.sock") == ("unix", "/tmp/x.sock")
+
+    def test_tcp_host_port(self):
+        assert parse_address("tcp:0.0.0.0:9000") == ("tcp", ("0.0.0.0", 9000))
+        assert parse_address("example.com:80") == ("tcp", ("example.com", 80))
+
+    def test_bare_port_binds_loopback(self):
+        assert parse_address(":7000") == ("tcp", ("127.0.0.1", 7000))
+
+    @pytest.mark.parametrize("bad", ["unix:", "9000", "host:", "host:abc", ""])
+    def test_rejects(self, bad):
+        with pytest.raises(ValueError):
+            parse_address(bad)
+
+
+def _drop_end(lines):
+    return [ln for ln in lines if '"event":"end"' not in ln]
+
+
+def _client(address, payload: bytes):
+    """Send payload, half-close, read all NDJSON lines back."""
+    if isinstance(address, str):
+        conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    else:
+        conn = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    conn.connect(address)
+    conn.sendall(payload)
+    conn.shutdown(socket.SHUT_WR)
+    buf = b""
+    while True:
+        got = conn.recv(1 << 16)
+        if not got:
+            break
+        buf += got
+    conn.close()
+    return buf.decode("utf-8").splitlines()
+
+
+@pytest.mark.slow
+class TestTokenServer:
+    @pytest.fixture(scope="class")
+    def pipeline(self):
+        from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
+
+        return AudioTokenizationPipeline(
+            sample_rate=8000,
+            model_config={"codebook_size": 64, "semantic_dim": 64,
+                          "acoustic_dim": 64, "n_mels": 32},
+            enable_reconstruction=False,
+            codebook_init_method="random",
+            enable_codebook_cache=False,
+        )
+
+    @pytest.fixture(scope="class")
+    def server(self, pipeline, tmp_path_factory):
+        from nat_tpu.runtime.server import TokenServer
+
+        sock = tmp_path_factory.mktemp("serve") / "nat.sock"
+        srv = TokenServer(pipeline, f"unix:{sock}")
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield srv
+        srv.close()
+        t.join(timeout=10)
+
+    def _reference_lines(self, pipeline, payload: bytes):
+        lines = []
+        pipeline.session().stream_stdin(io.BytesIO(payload), lines.append)
+        return lines
+
+    def test_single_wav_matches_stream_stdin(self, pipeline, server):
+        payload = _wav_bytes(freq=440.0)
+        got = _client(server.bound_address, payload)
+        ref = self._reference_lines(pipeline, payload)
+        assert _drop_end(got) == _drop_end(ref)
+        assert '"event":"header"' in got[0]
+        assert '"event":"end"' in got[-1]
+        # end.stats carries the raw-byte digest, like --stream-stdin
+        import hashlib
+
+        stats = json.loads(got[-1])["stats"]
+        assert stats["audio_sha256"] == hashlib.sha256(payload).hexdigest()
+
+    def test_concurrent_clients_isolated_streams(self, pipeline, server):
+        payloads = [_wav_bytes(freq=f) for f in (261.6, 392.0, 523.3)]
+        results = [None] * len(payloads)
+
+        def run(i):
+            results[i] = _client(server.bound_address, payloads[i])
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(payloads))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i, payload in enumerate(payloads):
+            assert results[i] is not None, f"client {i} timed out"
+            ref = self._reference_lines(pipeline, payload)
+            assert _drop_end(results[i]) == _drop_end(ref), f"client {i}"
+
+    def test_fs_multifile_one_connection(self, pipeline, server):
+        a = _wav_bytes(freq=440.0)
+        b = _wav_bytes(freq=660.0, seconds=0.5)
+        got = _client(server.bound_address, a + b"\x1c" + b)
+        headers = [ln for ln in got if '"event":"header"' in ln]
+        ends = [ln for ln in got if '"event":"end"' in ln]
+        assert len(headers) == 2 and len(ends) == 2
+        ref = []
+        pipeline.session().stream_stdin(
+            io.BytesIO(a + b"\x1c" + b), ref.append)
+        assert _drop_end(got) == _drop_end(ref)
+
+    def test_tcp_address(self, pipeline):
+        from nat_tpu.runtime.server import TokenServer
+
+        with TokenServer(pipeline, ":0") as srv:
+            t = threading.Thread(target=srv.serve_forever, daemon=True)
+            t.start()
+            payload = _wav_bytes(freq=330.0)
+            got = _client(srv.bound_address, payload)
+            assert '"event":"header"' in got[0]
+            assert '"event":"end"' in got[-1]
+
+    def test_empty_connection_closes_cleanly(self, server):
+        got = _client(server.bound_address, b"")
+        assert got == []
+
+    def test_buffered_fallback_raw_pcm(self, pipeline, server):
+        # Raw int16 bytes: no incremental reader claims them, so the server
+        # buffers to EOF and routes through the temp-file process_audio
+        # ladder (raw-PCM reinterpretation) — same as CLI stdin.
+        rng = np.random.default_rng(7)
+        payload = (rng.standard_normal(4000) * 3000).astype("<i2").tobytes()
+        got = _client(server.bound_address, payload)
+        assert '"event":"header"' in got[0]
+        assert '"event":"end"' in got[-1]
+        assert any('"event":"frame"' in ln or '"event":"tokens"' in ln
+                   for ln in got)
+        for ln in got:
+            json.loads(ln)
