@@ -867,6 +867,16 @@ class NeuralAudioTokenizer:
                                             overlap, sr)
             chunks.append(chunk)
             metas.append(meta)
+        return self.dispatch_prepared_group(chunks, metas, group_size,
+                                            pcm_divisor=pcm_divisor)
+
+    @_locked
+    def dispatch_prepared_group(self, chunks, metas, group_size,
+                                pcm_divisor=None):
+        """Stack already-prepared [1, bucket] chunks (all the same bucket/sr,
+        e.g. spans of one file or concurrent serving requests) into ONE
+        padded batched forward.  Returns ``(raw_output, List[SpanMeta])``
+        for :meth:`finalize_span_group`."""
         stacked = np.concatenate(chunks, axis=0)
         # Pad to the next power of two (≤ group_size) rather than always to
         # group_size: zero rows ride the wire too, and a 3-span tail padded
@@ -879,7 +889,7 @@ class NeuralAudioTokenizer:
         if stacked.shape[0] < target:
             stacked = np.pad(
                 stacked, ((0, target - stacked.shape[0]), (0, 0)))
-        forward, _ = self._forward_for(metas[0].bucket, sr)
+        forward, _ = self._forward_for(metas[0].bucket, metas[0].sr)
         self._rng, rng = jax.random.split(self._rng)
         out = forward(self.params, self.sem_rvq, self.acc_rvq,
                       self._to_device_f32(stacked, pcm_divisor), rng)

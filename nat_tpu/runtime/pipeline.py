@@ -192,6 +192,10 @@ class AudioTokenizationPipeline:
         )
         self.streaming = StreamingProtocol(**self._streaming_kwargs)
         self.budget_meter = TokenBudgetMeter(self.sample_rate, hop_length)
+        # Optional cross-session span executor (runtime/server.SpanBatcher):
+        # when set, _stream_one_file routes span dispatch through it so
+        # concurrent serving connections coalesce into batched forwards.
+        self.span_executor = None
 
         logger.info(f"Initialized nat-tpu pipeline {VERSION} "
                     f"(model_id={model_id}, rle={rle_mode}, "
@@ -709,6 +713,8 @@ class AudioTokenizationPipeline:
                 return tok._pcm16_wire(seg)
             return None
 
+        executor = getattr(self, "span_executor", None)
+
         def process_span(start: int, length: int, ov: int) -> None:
             ext_start = max(0, start - ov)
             ext_end = min(total, start + length + ov)
@@ -717,15 +723,43 @@ class AudioTokenizationPipeline:
                 tok.maybe_seed_from_audio(seg, sr)
             wire = wire_for(seg[None, :])
             src, div = wire if wire is not None else (seg[None, :], None)
-            out = tok.tokenize_span(src, ext_start, start, length,
-                                    ov, sr, want_features=False,
-                                    pcm_divisor=div)
+            if executor is not None:
+                out = executor.tokenize_span(src, ext_start, start, length,
+                                             ov, sr, want_features=False,
+                                             pcm_divisor=div)
+            else:
+                out = tok.tokenize_span(src, ext_start, start, length,
+                                        ov, sr, want_features=False,
+                                        pcm_divisor=div)
             emit(out)
 
         def process_spans(spans, ov: int) -> None:
             """Process already-buffered spans, grouped where possible.
             Coordinates are shifted to the buffer window; the span
             geometry (frame-keep masks) is shift-invariant."""
+            if executor is not None and len(spans) > 1:
+                # Serving path: submit every span to the shared batcher at
+                # once (it coalesces them — and any concurrent session's
+                # spans — into padded group forwards), then emit in order.
+                if hasattr(tok, "maybe_seed_from_audio"):
+                    s0, l0 = spans[0]
+                    tok.maybe_seed_from_audio(
+                        buf[max(0, s0 - ov) - base:
+                            min(total, s0 + l0 + ov) - base], sr)
+                futs = []
+                for s, l in spans:
+                    ext_start = max(0, s - ov)
+                    ext_end = min(total, s + l + ov)
+                    seg = buf[ext_start - base: ext_end - base]
+                    wire = wire_for(seg[None, :])
+                    src, div = (wire if wire is not None
+                                else (seg[None, :], None))
+                    futs.append(executor.submit_span(
+                        src, ext_start, s, l, ov, sr,
+                        want_features=False, pcm_divisor=div))
+                for fut in futs:
+                    emit(fut.result())
+                return
             if group_size <= 1 or len(spans) < 2:
                 for s, l in spans:
                     process_span(s, l, ov)

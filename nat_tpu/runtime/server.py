@@ -33,11 +33,116 @@ from __future__ import annotations
 import os
 import socket
 import threading
+from concurrent.futures import Future
 from typing import Optional, Tuple, Union
 
 from ..utils.logging import logger
 
 Address = Union[str, Tuple[str, int]]
+
+
+class SpanBatcher:
+    """Cross-session continuous batching: coalesces concurrent connections'
+    span dispatches into ONE padded ``[G, bucket]`` forward.
+
+    Without it, N light clients each dispatch ``[1, bucket]`` forwards that
+    serialize on the device — dispatch-bound on a tunneled/remote backend.
+    The batcher is a single worker thread draining a queue: each drain takes
+    every queued request matching the queue head's program key
+    ``(sr, bucket, wire dtype, divisor)`` up to ``max_group``, stacks them,
+    and runs one batched forward (rows are batch-independent; byte-identity
+    with sequential dispatch is test-asserted).  No artificial batching
+    window: a lone request dispatches immediately (no added latency), and
+    batching happens exactly when there is genuine concurrency or backlog.
+
+    Requires argmin (non-stochastic) quantization — grouping reassigns the
+    per-span RNG stream, which argmin ignores.
+    """
+
+    def __init__(self, tokenizer, max_group: Optional[int] = None,
+                 autostart: bool = True) -> None:
+        self.tok = tokenizer
+        if max_group is None:
+            max_group = tokenizer._stream_group_size()
+        self.max_group = max(1, int(max_group))
+        self._cv = threading.Condition()
+        self._queue: list = []  # (key, prepared, meta, divisor, want_f, fut)
+        self._closed = False
+        self.stats = {"spans": 0, "dispatches": 0}
+        self._worker: Optional[threading.Thread] = None
+        if autostart:
+            self._worker = threading.Thread(
+                target=self._run, name="nat-span-batcher", daemon=True)
+            self._worker.start()
+
+    # -- session-facing API (signature-compatible with tokenize_span) -----
+    def submit_span(self, chunk, ext_start, start, length, overlap, sr,
+                    want_features: bool = False, pcm_divisor=None) -> Future:
+        prepared, meta = self.tok.prepare_span(chunk, ext_start, start,
+                                               length, overlap, sr)
+        key = (sr, meta.bucket, str(prepared.dtype),
+               None if pcm_divisor is None else float(pcm_divisor),
+               bool(want_features))
+        fut: Future = Future()
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("SpanBatcher is closed")
+            self._queue.append((key, prepared, meta, pcm_divisor,
+                                want_features, fut))
+            self.stats["spans"] += 1
+            self._cv.notify()
+        return fut
+
+    def tokenize_span(self, chunk, ext_start, start, length, overlap, sr,
+                      want_features: bool = False, pcm_divisor=None):
+        return self.submit_span(chunk, ext_start, start, length, overlap,
+                                sr, want_features=want_features,
+                                pcm_divisor=pcm_divisor).result()
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        if self._worker is not None:
+            self._worker.join(timeout=30)
+
+    # -- worker ------------------------------------------------------------
+    def _run(self) -> None:
+        while self._drain_once():
+            pass
+
+    def _drain_once(self) -> bool:
+        """Dispatch one batch (blocking until work or close).  Returns
+        False when closed and drained.  Exposed for deterministic tests."""
+        with self._cv:
+            while not self._queue and not self._closed:
+                self._cv.wait()
+            if not self._queue:
+                return False
+            key = self._queue[0][0]
+            batch, rest = [], []
+            for item in self._queue:
+                if item[0] == key and len(batch) < self.max_group:
+                    batch.append(item)
+                else:
+                    rest.append(item)
+            self._queue = rest
+        futs = [item[5] for item in batch]
+        try:
+            chunks = [item[1] for item in batch]
+            metas = [item[2] for item in batch]
+            out, metas = self.tok.dispatch_prepared_group(
+                chunks, metas, self.max_group, pcm_divisor=batch[0][3])
+            results = list(self.tok.finalize_span_group(
+                out, metas, want_features=batch[0][4]))
+            self.stats["dispatches"] += 1
+            for fut, res in zip(futs, results):
+                fut.set_result(res)
+        except Exception as exc:
+            for fut in futs:
+                if not fut.done():
+                    fut.set_exception(exc)
+        return True
 
 
 def parse_address(spec: str) -> Tuple[str, Address]:
@@ -109,6 +214,18 @@ class TokenServer:
         # and process_audio are not span-interleaved); streaming requests
         # use the tokenizer's own span-level lock instead.
         self._buffered_lock = threading.Lock()
+        # Cross-session span batching (see SpanBatcher).  Active whenever
+        # the tokenizer groups spans (accelerators: group 8; CPU: only with
+        # NAT_TPU_STREAM_GROUP>1) and quantization is argmin;
+        # NAT_TPU_SERVE_BATCH=0 force-disables.
+        self._batcher: Optional[SpanBatcher] = None
+        if (os.environ.get("NAT_TPU_SERVE_BATCH") != "0"
+                and hasattr(tok, "dispatch_prepared_group")
+                and not getattr(tok, "stochastic", False)
+                and tok._stream_group_size() > 1):
+            self._batcher = SpanBatcher(tok)
+            logger.info(f"Cross-session span batching on "
+                        f"(max_group={self._batcher.max_group})")
 
     # ------------------------------------------------------------------
     @property
@@ -141,6 +258,8 @@ class TokenServer:
         try:
             self._sock.close()
         finally:
+            if self._batcher is not None:
+                self._batcher.close()
             if self.family == "unix":
                 try:
                     os.unlink(self.addr)
@@ -192,6 +311,7 @@ class TokenServer:
             logger.debug(f"conn#{cid}: empty payload")
             return
         session = self.pipeline.session()
+        session.span_executor = self._batcher
         if (make_stream_reader(head.lstrip(b"\x1c")) is not None
                 and hasattr(session.tokenizer, "tokenize_span")):
             session.stream_stdin(_PrefixedStream(head, rfile), write)

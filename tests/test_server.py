@@ -155,6 +155,65 @@ class TestTokenServer:
         got = _client(server.bound_address, b"")
         assert got == []
 
+    def test_span_batcher_groups_and_matches_sequential(self, pipeline):
+        """Deterministic cross-session batching check: three spans queued
+        before one drain dispatch as ONE batched forward whose per-row
+        results are byte-identical to sequential tokenize_span calls."""
+        from nat_tpu.runtime.server import SpanBatcher
+
+        tok = pipeline.tokenizer
+        tok.ensure_initialized()
+        sr = 8000
+        segs = []
+        for freq in (220.0, 440.0, 880.0):
+            t = np.arange(sr) / sr
+            segs.append((0.5 * np.sin(2 * np.pi * freq * t))
+                        .astype(np.float32))
+
+        batcher = SpanBatcher(tok, max_group=4, autostart=False)
+        futs = [batcher.submit_span(s[None, :], 0, 0, s.size, 0, sr,
+                                    want_features=False) for s in segs]
+        assert batcher._drain_once()
+        assert batcher.stats == {"spans": 3, "dispatches": 1}
+        for fut, seg in zip(futs, segs):
+            got = fut.result(timeout=0)
+            ref = tok.tokenize_span(seg[None, :], 0, 0, seg.size, 0, sr,
+                                    want_features=False)
+            np.testing.assert_array_equal(got["semantic_codes"],
+                                          ref["semantic_codes"])
+            np.testing.assert_array_equal(got["acoustic_codes"],
+                                          ref["acoustic_codes"])
+
+    def test_serve_with_batching_byte_identical(self, pipeline, monkeypatch,
+                                                tmp_path):
+        """A server with cross-session batching active serves streams
+        byte-identical to unbatched stream_stdin."""
+        from nat_tpu.runtime.server import TokenServer
+
+        monkeypatch.setenv("NAT_TPU_STREAM_GROUP", "4")
+        sock = tmp_path / "batch.sock"
+        with TokenServer(pipeline, f"unix:{sock}") as srv:
+            assert srv._batcher is not None
+            t = threading.Thread(target=srv.serve_forever, daemon=True)
+            t.start()
+            payloads = [_wav_bytes(freq=f) for f in (262.0, 330.0, 494.0)]
+            results = [None] * len(payloads)
+
+            def run(i):
+                results[i] = _client(srv.bound_address, payloads[i])
+
+            threads = [threading.Thread(target=run, args=(i,))
+                       for i in range(len(payloads))]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=120)
+            for i, payload in enumerate(payloads):
+                assert results[i] is not None, f"client {i} timed out"
+                ref = self._reference_lines(pipeline, payload)
+                assert _drop_end(results[i]) == _drop_end(ref), f"client {i}"
+            assert srv._batcher.stats["spans"] >= 3
+
     def test_buffered_fallback_raw_pcm(self, pipeline, server):
         # Raw int16 bytes: no incremental reader claims them, so the server
         # buffers to EOF and routes through the temp-file process_audio
