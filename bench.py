@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main() -> None:
+    _start_outage_watchdog()
+
     import jax
 
     from nat_tpu.models.tokenizer import NeuralAudioTokenizer
@@ -112,6 +114,37 @@ def main() -> None:
     }
     record.update(e2e)
     print(json.dumps(record))
+
+
+def _start_outage_watchdog(budget_s: float = 3000.0) -> None:
+    """During axon tunnel outages ALL jax work hangs indefinitely (even
+    backend init — see .claude/skills/verify/SKILL.md), which would leave
+    the driver with no BENCH record at all.  If the whole benchmark hasn't
+    printed within ``budget_s`` (generous: cold compiles + a degraded
+    first handshake measure up to ~15 min combined), emit an explicit
+    error record and exit.  Disarmed implicitly by process exit on the
+    normal path."""
+    import os
+    import threading
+
+    budget = float(os.environ.get("NAT_TPU_BENCH_WATCHDOG_S", budget_s))
+    if budget <= 0:
+        return
+
+    def fire() -> None:
+        print(json.dumps({
+            "metric": "audio_seconds_tokenized_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "x_realtime",
+            "vs_baseline": 0.0,
+            "error": f"backend unresponsive for {budget:.0f}s "
+                     "(axon tunnel outage?); no measurement possible",
+        }), flush=True)
+        os._exit(1)
+
+    t = threading.Timer(budget, fire)
+    t.daemon = True
+    t.start()
 
 
 def _bench_e2e_stream(spent_seconds: float, budget: float = 600.0) -> dict:
