@@ -456,9 +456,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         # Sniff before committing: WAV/AIFF/AU/FLAC streams decode
         # incrementally; anything else falls back to buffered stdin with
         # no bytes lost.
-        from .io.stream_reader import make_stream_reader
+        from .io.stream_reader import make_stream_reader, read_sniff
 
-        head = sys.stdin.buffer.read(1 << 16)
+        # First-available-block sniff: a greedy read(64K) would add up to
+        # 64 KB of producer latency before the header even emits on a live
+        # (real-time) pipe.
+        head = read_sniff(sys.stdin.buffer)
         # iter_fs_streams drops leading FS separators itself; sniff past
         # them so FS-prefixed pipes still stream.
         if make_stream_reader(head.lstrip(b"\x1c")) is not None:
@@ -535,6 +538,18 @@ class _PrefixedStream:
                 return out
             out, self._prefix = self._prefix[:n], self._prefix[n:]
             return out
+        return self._stream.read(n)
+
+    def read1(self, n: int = -1) -> bytes:
+        """First-available-block read (keeps live-pipe latency at producer
+        granularity after the sniff; see io/stream_reader._read_block)."""
+        if self._prefix:
+            out = self._prefix if n is None or n < 0 else self._prefix[:n]
+            self._prefix = self._prefix[len(out):]
+            return out
+        r1 = getattr(self._stream, "read1", None)
+        if r1 is not None:
+            return r1(n)
         return self._stream.read(n)
 
 

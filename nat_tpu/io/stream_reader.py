@@ -521,6 +521,38 @@ def _looks_like_mp3(head: bytes) -> bool:
             and (head[1] & 0xE0) == 0xE0)
 
 
+def _read_block(stream, n: int) -> bytes:
+    """One "whatever has arrived" read.
+
+    ``BufferedReader.read(n)`` is greedy — on a live pipe/socket it blocks
+    until n bytes accumulate, imposing n-byte latency granularity on every
+    downstream frame.  ``read1(n)`` returns after the FIRST raw read (all
+    currently-available bytes, blocking only until SOME arrive, empty only
+    at EOF for blocking streams), so first-frame latency tracks the
+    producer instead of the buffer size.  Falls back to ``read`` for
+    objects without ``read1``."""
+    r1 = getattr(stream, "read1", None)
+    if r1 is not None:
+        return r1(n)
+    return stream.read(n)
+
+
+def read_sniff(stream, min_bytes: int = 64, cap: int = 1 << 16) -> bytes:
+    """Read just enough of a live stream to identify its container.
+
+    Accumulates first-available blocks until ``min_bytes`` non-FS bytes
+    (``make_stream_reader`` needs ≤12; margin for ID3/ftyp probing) or
+    EOF — never the full ``cap`` unless it arrives in one block.  The
+    returned bytes must be replayed ahead of the stream (cli._PrefixedStream)."""
+    buf = b""
+    while len(buf.lstrip(b"\x1c")) < min_bytes:
+        block = _read_block(stream, cap)
+        if not block:
+            break
+        buf += block
+    return buf
+
+
 def make_stream_reader(head: bytes):
     """Pick the incremental reader for a byte-stream prefix, or None."""
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
@@ -564,7 +596,7 @@ def iter_fs_streams(stream, block_bytes: int = 1 << 16
     def fill(n: int) -> None:
         nonlocal carry, eof
         while len(carry) < n and not eof:
-            b = stream.read(block_bytes)
+            b = _read_block(stream, block_bytes)
             if not b:
                 eof = True
                 return
@@ -594,7 +626,7 @@ def iter_fs_streams(stream, block_bytes: int = 1 << 16
             elif eof:
                 block = b""
             else:
-                block = stream.read(block_bytes)
+                block = _read_block(stream, block_bytes)
                 if not block:
                     eof = True
             if block:
@@ -629,7 +661,7 @@ def iter_fs_streams(stream, block_bytes: int = 1 << 16
                     # new FS-delimited file: hash + discard to EOF.
                     sha.update(carry)
                     while True:
-                        junk = stream.read(block_bytes)
+                        junk = _read_block(stream, block_bytes)
                         if not junk:
                             eof = True
                             break
@@ -667,7 +699,7 @@ def iter_stream_samples(stream, block_bytes: int = 1 << 16
     stream is not incrementally decodable (unknown container, or decode
     failure).
     """
-    head = stream.read(block_bytes)
+    head = _read_block(stream, block_bytes)
     reader = make_stream_reader(head)
     if reader is None:
         raise ValueError("stream is not an incrementally decodable format")
@@ -686,7 +718,7 @@ def iter_stream_samples(stream, block_bytes: int = 1 << 16
             yield "samples", block
         if not data:
             break
-        data = stream.read(block_bytes)
+        data = _read_block(stream, block_bytes)
     if hasattr(reader, "finish"):
         reader.finish()
         if reader.ready and not announced:

@@ -276,6 +276,12 @@ class TokenServer:
     def _handle(self, conn: socket.socket, cid: int) -> None:
         try:
             logger.debug(f"conn#{cid}: accepted")
+            # Opt-in idle timeout: a producer that stops sending (and a
+            # consumer that stops reading) for this long gets its
+            # connection dropped rather than holding a slot forever.
+            idle_s = float(os.environ.get("NAT_TPU_SERVE_IDLE_S", "0"))
+            if idle_s > 0:
+                conn.settimeout(idle_s)
             rfile = conn.makefile("rb")
 
             def write(line: str) -> None:
@@ -289,6 +295,9 @@ class TokenServer:
                 conn.shutdown(socket.SHUT_WR)
             except OSError:
                 pass
+        except TimeoutError:
+            logger.warn(f"conn#{cid}: idle past NAT_TPU_SERVE_IDLE_S; "
+                        "dropping connection")
         except (BrokenPipeError, ConnectionResetError):
             logger.debug(f"conn#{cid}: client disconnected")
         except Exception as exc:
@@ -304,9 +313,11 @@ class TokenServer:
         """One connection = one stdin-daemon session: sniff, then stream
         incrementally or fall back to buffered tokenization."""
         from ..cli import _PrefixedStream
-        from ..io.stream_reader import make_stream_reader
+        from ..io.stream_reader import make_stream_reader, read_sniff
 
-        head = rfile.read(1 << 16)
+        # First-available-block sniff (not a greedy 64 KB read): a live
+        # client's first frames shouldn't wait on buffer-filling.
+        head = read_sniff(rfile)
         if not head:
             logger.debug(f"conn#{cid}: empty payload")
             return

@@ -214,6 +214,31 @@ class TestTokenServer:
                 assert _drop_end(results[i]) == _drop_end(ref), f"client {i}"
             assert srv._batcher.stats["spans"] >= 3
 
+    def test_idle_timeout_drops_stalled_producer(self, pipeline, monkeypatch,
+                                                 tmp_path):
+        from nat_tpu.runtime.server import TokenServer
+
+        monkeypatch.setenv("NAT_TPU_SERVE_IDLE_S", "0.5")
+        sock = tmp_path / "idle.sock"
+        with TokenServer(pipeline, f"unix:{sock}") as srv:
+            t = threading.Thread(target=srv.serve_forever, daemon=True)
+            t.start()
+            c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            c.connect(str(sock))
+            c.sendall(_wav_bytes()[:100])  # partial payload, then stall
+            c.settimeout(30)
+            # Server must drop us (EOF within the client timeout) instead
+            # of waiting forever; the partial stream it managed to emit
+            # (header, maybe early frames) must not include an end event.
+            buf = b""
+            while True:
+                got = c.recv(1 << 16)
+                if not got:
+                    break
+                buf += got
+            assert b'"event":"end"' not in buf
+            c.close()
+
     def test_buffered_fallback_raw_pcm(self, pipeline, server):
         # Raw int16 bytes: no incremental reader claims them, so the server
         # buffers to EOF and routes through the temp-file process_audio

@@ -73,6 +73,72 @@ class TestStreamingWavReader:
         np.testing.assert_allclose(streamed, expected, atol=1e-7)
 
 
+class TestLiveLatency:
+    """First-available-block reads: a live producer's frames must not wait
+    on 64 KB buffer-filling (greedy BufferedReader.read granularity)."""
+
+    def test_samples_arrive_at_producer_granularity(self):
+        import os
+        import threading
+
+        data, _ = _wav_bytes(seconds=1.0, sr=8000)
+        r, w = os.pipe()
+        rf = os.fdopen(r, "rb")
+        wf = os.fdopen(w, "wb")
+        got_samples = threading.Event()
+        received = []
+
+        def consume():
+            for kind, payload in iter_stream_samples(rf):
+                if kind == "samples":
+                    received.append(payload)
+                    got_samples.set()
+
+        t = threading.Thread(target=consume, daemon=True)
+        t.start()
+        # Producer writes one small block, then WAITS until the consumer
+        # has seen samples.  With greedy read(64K) this deadlocks (whole
+        # payload is ~16 KB); with read1 semantics it proceeds.
+        wf.write(data[:2048])
+        wf.flush()
+        assert got_samples.wait(20), (
+            "no samples emitted from the first 2 KB — reader is blocking "
+            "on a greedy buffer fill")
+        wf.write(data[2048:])
+        wf.close()
+        t.join(20)
+        assert not t.is_alive()
+        from nat_tpu.io.audio import decode_wav as _dw
+
+        np.testing.assert_array_equal(np.concatenate(received),
+                                      _dw(data)[0])
+
+    def test_read_sniff_needs_no_eof(self):
+        import os
+        import threading
+
+        from nat_tpu.io.stream_reader import read_sniff
+
+        data, _ = _wav_bytes(seconds=1.0, sr=8000)
+        r, w = os.pipe()
+        rf = os.fdopen(r, "rb")
+        wf = os.fdopen(w, "wb")
+        out = []
+
+        def sniff():
+            out.append(read_sniff(rf))
+
+        t = threading.Thread(target=sniff, daemon=True)
+        t.start()
+        wf.write(data[:100])   # header + a little: EOF never sent
+        wf.flush()
+        t.join(20)
+        assert not t.is_alive(), "read_sniff blocked waiting for 64 KB/EOF"
+        assert out[0] == data[:100]
+        wf.close()
+        rf.close()
+
+
 def _aiff_bytes(sig: np.ndarray, sr: int) -> bytes:
     import math
     import struct
