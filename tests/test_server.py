@@ -239,6 +239,56 @@ class TestTokenServer:
             assert b'"event":"end"' not in buf
             c.close()
 
+    def test_concurrent_multifile_stress(self, pipeline, server):
+        """6 clients × 3 FS-delimited files each, all at once: every
+        client's streams must match its own sequential reference."""
+        rng = np.random.default_rng(11)
+        payloads = []
+        for _ in range(6):
+            freqs = rng.uniform(200, 900, size=3)
+            payloads.append(b"\x1c".join(
+                _wav_bytes(seconds=0.5, freq=float(f)) for f in freqs))
+        results = [None] * len(payloads)
+
+        def run(i):
+            results[i] = _client(server.bound_address, payloads[i])
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(payloads))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i, payload in enumerate(payloads):
+            assert results[i] is not None, f"client {i} timed out"
+            assert sum('"event":"end"' in ln for ln in results[i]) == 3
+            ref = self._reference_lines(pipeline, payload)
+            assert _drop_end(results[i]) == _drop_end(ref), f"client {i}"
+
+    def test_header_emits_before_payload_completes(self, server):
+        """Live-source liveness: the NDJSON header must come back while
+        the client is still sending (no greedy 64 KB buffering)."""
+        payload = _wav_bytes(seconds=2.0)
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(server.bound_address)
+        c.sendall(payload[:4000])
+        c.settimeout(60)
+        first = c.recv(1 << 16)      # blocks only until the header line
+        assert b'"event":"header"' in first
+        c.sendall(payload[4000:])
+        c.shutdown(socket.SHUT_WR)
+        buf = first
+        while True:
+            got = c.recv(1 << 16)
+            if not got:
+                break
+            buf += got
+        c.close()
+        lines = buf.decode().splitlines()
+        assert '"event":"end"' in lines[-1]
+        for ln in lines:
+            json.loads(ln)
+
     def test_buffered_fallback_raw_pcm(self, pipeline, server):
         # Raw int16 bytes: no incremental reader claims them, so the server
         # buffers to EOF and routes through the temp-file process_audio
