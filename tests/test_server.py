@@ -289,6 +289,24 @@ class TestTokenServer:
         for ln in lines:
             json.loads(ln)
 
+    def test_compat_pipeline_serves_buffered(self, tmp_path):
+        """Compat mode has no incremental tokenizer: the server must route
+        every connection through the buffered whole-file path and still
+        return complete, labeled streams."""
+        from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
+        from nat_tpu.runtime.server import TokenServer
+
+        pipe = AudioTokenizationPipeline(sample_rate=8000,
+                                         enable_compat_fallback=True)
+        sock = tmp_path / "compat.sock"
+        with TokenServer(pipe, f"unix:{sock}") as srv:
+            t = threading.Thread(target=srv.serve_forever, daemon=True)
+            t.start()
+            got = _client(srv.bound_address, _wav_bytes())
+            header = json.loads(got[0])
+            assert header["event"] == "header" and header["compat_mode"]
+            assert '"event":"end"' in got[-1]
+
     def test_buffered_fallback_raw_pcm(self, pipeline, server):
         # Raw int16 bytes: no incremental reader claims them, so the server
         # buffers to EOF and routes through the temp-file process_audio
