@@ -187,6 +187,8 @@ class TokenServer:
         self._slots = threading.Semaphore(max(1, max_connections))
         self._closed = threading.Event()
         self._conn_seq = 0
+        self._active = 0
+        self._active_cv = threading.Condition()
 
         if self.family == "unix":
             # A previous daemon's stale socket file would make bind fail;
@@ -247,24 +249,44 @@ class TokenServer:
                 break  # listener closed
             self._slots.acquire()
             self._conn_seq += 1
+            with self._active_cv:
+                self._active += 1
             t = threading.Thread(
                 target=self._handle, args=(conn, self._conn_seq),
                 name=f"nat-serve-{self._conn_seq}", daemon=True)
             t.start()
         logger.info("Server stopped")
 
-    def close(self) -> None:
+    def stop_accepting(self) -> None:
+        """Close the listener (in-flight connections keep running).
+        ``shutdown`` first: closing alone does not interrupt a thread
+        blocked in ``accept`` (the kernel keeps queueing the backlog)."""
         self._closed.set()
         try:
+            self._sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        try:
             self._sock.close()
-        finally:
-            if self._batcher is not None:
-                self._batcher.close()
-            if self.family == "unix":
-                try:
-                    os.unlink(self.addr)
-                except OSError:
-                    pass
+        except OSError:
+            pass
+
+    def drain(self, timeout: float = 30.0) -> bool:
+        """Wait for in-flight connections to finish (graceful shutdown);
+        True when the server went quiet within ``timeout``."""
+        with self._active_cv:
+            return self._active_cv.wait_for(lambda: self._active == 0,
+                                            timeout)
+
+    def close(self) -> None:
+        self.stop_accepting()
+        if self._batcher is not None:
+            self._batcher.close()
+        if self.family == "unix":
+            try:
+                os.unlink(self.addr)
+            except OSError:
+                pass
 
     def __enter__(self) -> "TokenServer":
         return self
@@ -308,6 +330,9 @@ class TokenServer:
             except OSError:
                 pass
             self._slots.release()
+            with self._active_cv:
+                self._active -= 1
+                self._active_cv.notify_all()
 
     def _serve_stream(self, rfile, write, cid: int) -> None:
         """One connection = one stdin-daemon session: sniff, then stream
@@ -350,15 +375,21 @@ class TokenServer:
 
 
 def run_server(pipeline, address: str) -> int:
-    """CLI entry: serve until SIGINT/SIGTERM.  Returns a process exit code."""
+    """CLI entry: serve until SIGINT/SIGTERM, then drain gracefully —
+    stop accepting, let in-flight connections finish (bounded by
+    ``NAT_TPU_SERVE_DRAIN_S``, default 30; 0 = immediate), close."""
     import signal
 
     server = TokenServer(pipeline, address)
-    stop = lambda *_sig: server.close()  # noqa: E731
+    stop = lambda *_sig: server.stop_accepting()  # noqa: E731
     signal.signal(signal.SIGINT, stop)
     signal.signal(signal.SIGTERM, stop)
     try:
         server.serve_forever()
+        drain_s = float(os.environ.get("NAT_TPU_SERVE_DRAIN_S", "30"))
+        if drain_s > 0 and not server.drain(drain_s):
+            logger.warn(f"Shutdown: connections still active after "
+                        f"{drain_s:.0f}s drain; closing anyway")
     finally:
         server.close()
     return 0

@@ -289,6 +289,46 @@ class TestTokenServer:
         for ln in lines:
             json.loads(ln)
 
+    def test_graceful_drain_completes_inflight_stream(self, pipeline,
+                                                      tmp_path):
+        """stop_accepting + drain: an in-flight client finishes its stream;
+        new connections are refused."""
+        from nat_tpu.runtime.server import TokenServer
+
+        payload = _wav_bytes(seconds=2.0)
+        sock = tmp_path / "drain.sock"
+        with TokenServer(pipeline, f"unix:{sock}") as srv:
+            t = threading.Thread(target=srv.serve_forever, daemon=True)
+            t.start()
+            c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            c.connect(str(sock))
+            c.sendall(payload[:4000])           # connection now in flight
+            c.settimeout(60)
+            assert b'"event":"header"' in c.recv(1 << 16)
+
+            srv.stop_accepting()
+            import time as _time
+
+            _time.sleep(0.2)   # let the accept loop observe the shutdown
+            with pytest.raises(OSError):
+                late = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                try:
+                    late.connect(str(sock))
+                finally:
+                    late.close()
+
+            c.sendall(payload[4000:])
+            c.shutdown(socket.SHUT_WR)
+            buf = b""
+            while True:
+                got = c.recv(1 << 16)
+                if not got:
+                    break
+                buf += got
+            c.close()
+            assert b'"event":"end"' in buf.splitlines()[-1]
+            assert srv.drain(timeout=30)
+
     def test_compat_pipeline_serves_buffered(self, tmp_path):
         """Compat mode has no incremental tokenizer: the server must route
         every connection through the buffered whole-file path and still
