@@ -66,6 +66,47 @@ def _client(address, payload: bytes):
 
 
 @pytest.mark.slow
+def test_cli_serve_roundtrip(tmp_path):
+    """`nat --serve` as a real subprocess: serves a stream, drains on
+    SIGTERM, exits 0, and keeps its own stdout empty (NDJSON goes to the
+    socket, never the daemon's stdout)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parent.parent
+    sock = tmp_path / "cli.sock"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "nat_tpu", "--serve", f"unix:{sock}",
+         "--compat-fallback"],
+        cwd=str(repo_root), env=env, stdin=subprocess.DEVNULL,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        deadline = time.time() + 90
+        while not sock.exists():
+            assert proc.poll() is None, proc.stderr.read().decode()[:500]
+            assert time.time() < deadline, "server socket never appeared"
+            time.sleep(0.2)
+        got = _client(str(sock), _wav_bytes())
+        header = json.loads(got[0])
+        assert header["event"] == "header" and header["compat_mode"]
+        assert '"event":"end"' in got[-1]
+        proc.send_signal(signal.SIGTERM)
+        out, _err = proc.communicate(timeout=60)
+        assert proc.returncode == 0
+        assert out == b"", "daemon stdout must stay empty"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
+@pytest.mark.slow
 class TestTokenServer:
     @pytest.fixture(scope="class")
     def pipeline(self):

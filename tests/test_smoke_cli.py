@@ -26,3 +26,13 @@ def test_error_path_clean_stdout(cli):
     assert rc != 0
     assert out == ""
     assert "FileNotFoundError" in err
+
+
+def test_serve_flag_validation(cli):
+    rc, out, err = cli(["--serve", "bad-address"])
+    assert rc == 2
+    assert out == ""
+    assert "serve address" in err
+    rc, out, err = cli(["--serve", ":0", "some.wav"])
+    assert rc == 2
+    assert "standalone daemon" in err
