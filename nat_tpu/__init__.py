@@ -28,6 +28,7 @@ __all__ = [
     "Trainer",
     "DataParallelRunner",
     "TokenServer",
+    "TokenClient",
 ]
 
 
@@ -82,4 +83,8 @@ def __getattr__(name):
         from .runtime.server import TokenServer
 
         return TokenServer
+    if name == "TokenClient":
+        from .client import TokenClient
+
+        return TokenClient
     raise AttributeError(f"module 'nat_tpu' has no attribute {name!r}")

@@ -370,6 +370,39 @@ class TestTokenServer:
             assert b'"event":"end"' in buf.splitlines()[-1]
             assert srv.drain(timeout=30)
 
+    def test_token_client_roundtrip(self, pipeline, server):
+        """TokenClient: streamed events match raw-socket lines; tokenize()
+        returns parsed TokenStreams per FS-multiplexed file."""
+        from nat_tpu.client import TokenClient, healthcheck
+
+        addr = f"unix:{server.bound_address}"
+        assert healthcheck(addr)
+        payload = _wav_bytes(freq=550.0)
+
+        client = TokenClient(addr)
+        events = list(client.stream(payload))
+        assert events[0]["event"] == "header"
+        assert events[-1]["event"] == "end"
+        raw = _client(server.bound_address, payload)
+        assert [json.loads(ln)["event"] for ln in raw] == [
+            e["event"] for e in events]
+
+        a = _wav_bytes(freq=440.0, seconds=3.0)
+        b = _wav_bytes(freq=660.0, seconds=0.5)
+        streams = client.tokenize(a, b)
+        assert len(streams) == 2
+        assert streams[0].num_frames > streams[1].num_frames > 0
+        assert streams[0].semantic.shape[0] == 4
+        # Per-file results equal single-file requests
+        solo = client.tokenize(a)[0]
+        np.testing.assert_array_equal(solo.semantic, streams[0].semantic)
+        np.testing.assert_array_equal(solo.acoustic, streams[0].acoustic)
+
+    def test_token_client_healthcheck_down(self, tmp_path):
+        from nat_tpu.client import healthcheck
+
+        assert not healthcheck(f"unix:{tmp_path}/nothing.sock", timeout=1)
+
     def test_compat_pipeline_serves_buffered(self, tmp_path):
         """Compat mode has no incremental tokenizer: the server must route
         every connection through the buffered whole-file path and still
