@@ -872,11 +872,18 @@ class NeuralAudioTokenizer:
 
     @_locked
     def dispatch_prepared_group(self, chunks, metas, group_size,
-                                pcm_divisor=None):
+                                pcm_divisor=None, mesh=None,
+                                state_override=None):
         """Stack already-prepared [1, bucket] chunks (all the same bucket/sr,
         e.g. spans of one file or concurrent serving requests) into ONE
         padded batched forward.  Returns ``(raw_output, List[SpanMeta])``
-        for :meth:`finalize_span_group`."""
+        for :meth:`finalize_span_group`.
+
+        ``mesh``: shard the batch dimension over the mesh's ``dp`` axis
+        (multi-chip serving; rows pad to a dp multiple so the shard is
+        even).  ``state_override`` supplies mesh-replicated
+        ``(params, sem_rvq, acc_rvq)`` so single-device-committed state
+        never mixes with a sharded batch."""
         stacked = np.concatenate(chunks, axis=0)
         # Pad to the next power of two (≤ group_size) rather than always to
         # group_size: zero rows ride the wire too, and a 3-span tail padded
@@ -885,14 +892,32 @@ class NeuralAudioTokenizer:
         target = 1
         while target < stacked.shape[0]:
             target *= 2
-        target = min(target, group_size)
+        target = min(target, max(group_size, 1))
+        if mesh is not None:                 # even dp shards
+            dp = mesh.shape["dp"]
+            target = -(-max(target, dp) // dp) * dp
         if stacked.shape[0] < target:
             stacked = np.pad(
                 stacked, ((0, target - stacked.shape[0]), (0, 0)))
         forward, _ = self._forward_for(metas[0].bucket, metas[0].sr)
         self._rng, rng = jax.random.split(self._rng)
-        out = forward(self.params, self.sem_rvq, self.acc_rvq,
-                      self._to_device_f32(stacked, pcm_divisor), rng)
+        params, sem_rvq, acc_rvq = (
+            state_override if state_override is not None
+            else (self.params, self.sem_rvq, self.acc_rvq))
+        if mesh is None:
+            dev = self._to_device_f32(stacked, pcm_divisor)
+        else:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            dev = jax.device_put(stacked, batch_sharding(mesh))
+            if stacked.dtype == np.int16:
+                from ..dsp import pcm
+
+                if self._pcm16_cvt is None:
+                    self._pcm16_cvt = jax.jit(pcm.convert_on_device)
+                dev = self._pcm16_cvt(dev, jnp.float32(pcm_divisor))
+            rng = jax.device_put(rng, replicated(mesh))
+        out = forward(params, sem_rvq, acc_rvq, dev, rng)
         return out, metas
 
     def finalize_span_group(self, out: Dict, metas: List["SpanMeta"],

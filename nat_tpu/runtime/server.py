@@ -60,11 +60,17 @@ class SpanBatcher:
     """
 
     def __init__(self, tokenizer, max_group: Optional[int] = None,
-                 autostart: bool = True) -> None:
+                 autostart: bool = True, mesh=None) -> None:
         self.tok = tokenizer
+        self.mesh = mesh
         if max_group is None:
             max_group = tokenizer._stream_group_size()
+            if mesh is not None:
+                # Multi-chip serving: a full group per chip keeps every
+                # dp shard as busy as single-chip batching would.
+                max_group *= mesh.shape["dp"]
         self.max_group = max(1, int(max_group))
+        self._mesh_state = None   # mesh-replicated (params, sem, acc)
         self._cv = threading.Condition()
         self._queue: list = []  # (key, prepared, meta, divisor, want_f, fut)
         self._closed = False
@@ -106,6 +112,23 @@ class SpanBatcher:
         if self._worker is not None:
             self._worker.join(timeout=30)
 
+    def _mesh_args(self):
+        """Mesh-replicated model state (one device_put per server lifetime):
+        params committed to a single device cannot feed a dp-sharded batch."""
+        if self.mesh is None:
+            return None
+        if self._mesh_state is None:
+            import jax
+
+            from ..parallel.mesh import replicated
+
+            rep = replicated(self.mesh)
+            self._mesh_state = tuple(
+                jax.device_put(x, rep)
+                for x in (self.tok.params, self.tok.sem_rvq,
+                          self.tok.acc_rvq))
+        return self._mesh_state
+
     # -- worker ------------------------------------------------------------
     def _run(self) -> None:
         while self._drain_once():
@@ -132,7 +155,8 @@ class SpanBatcher:
             chunks = [item[1] for item in batch]
             metas = [item[2] for item in batch]
             out, metas = self.tok.dispatch_prepared_group(
-                chunks, metas, self.max_group, pcm_divisor=batch[0][3])
+                chunks, metas, self.max_group, pcm_divisor=batch[0][3],
+                mesh=self.mesh, state_override=self._mesh_args())
             results = list(self.tok.finalize_span_group(
                 out, metas, want_features=batch[0][4]))
             self.stats["dispatches"] += 1
@@ -178,7 +202,7 @@ class TokenServer:
     """
 
     def __init__(self, pipeline, address: str,
-                 max_connections: Optional[int] = None) -> None:
+                 max_connections: Optional[int] = None, mesh=None) -> None:
         self.pipeline = pipeline
         self.family, self.addr = parse_address(address)
         if max_connections is None:
@@ -220,14 +244,27 @@ class TokenServer:
         # the tokenizer groups spans (accelerators: group 8; CPU: only with
         # NAT_TPU_STREAM_GROUP>1) and quantization is argmin;
         # NAT_TPU_SERVE_BATCH=0 force-disables.
+        # Multi-chip serving: NAT_TPU_SERVE_DP=N (or an explicit mesh)
+        # shards batched groups over a ("dp", "tp") mesh — concurrent
+        # clients' spans spread across chips via one sharded forward.
+        if mesh is None:
+            dp_env = int(os.environ.get("NAT_TPU_SERVE_DP", "0"))
+            if dp_env > 1:
+                from ..parallel.mesh import make_mesh
+
+                mesh = make_mesh((dp_env, 1))
+        self.mesh = mesh
         self._batcher: Optional[SpanBatcher] = None
         if (os.environ.get("NAT_TPU_SERVE_BATCH") != "0"
                 and hasattr(tok, "dispatch_prepared_group")
                 and not getattr(tok, "stochastic", False)
-                and tok._stream_group_size() > 1):
-            self._batcher = SpanBatcher(tok)
-            logger.info(f"Cross-session span batching on "
-                        f"(max_group={self._batcher.max_group})")
+                and (tok._stream_group_size() > 1 or mesh is not None)):
+            self._batcher = SpanBatcher(tok, mesh=mesh)
+            logger.info(
+                f"Cross-session span batching on "
+                f"(max_group={self._batcher.max_group}"
+                + (f", dp={mesh.shape['dp']}" if mesh is not None else "")
+                + ")")
 
     # ------------------------------------------------------------------
     @property

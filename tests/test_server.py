@@ -65,6 +65,56 @@ def _client(address, payload: bytes):
     return buf.decode("utf-8").splitlines()
 
 
+@pytest.mark.mesh
+@pytest.mark.skipif(
+    int(__import__("os").environ.get("NAT_TPU_TEST_DEVICES", "1")) < 8,
+    reason="needs virtual devices (NAT_TPU_TEST_DEVICES=8)")
+def test_serve_mesh_sharded_batching_byte_identical(tmp_path):
+    """Multi-chip serving: the batcher shards batched groups over a dp
+    mesh; concurrent clients' streams stay byte-identical to the
+    unsharded sequential reference."""
+    import io
+
+    from nat_tpu.parallel.mesh import make_mesh
+    from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
+    from nat_tpu.runtime.server import TokenServer
+
+    pipe = AudioTokenizationPipeline(
+        sample_rate=8000,
+        model_config={"codebook_size": 64, "semantic_dim": 64,
+                      "acoustic_dim": 64, "n_mels": 32},
+        enable_reconstruction=False,
+        codebook_init_method="random",
+        enable_codebook_cache=False,
+    )
+    import jax
+
+    mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+    sock = tmp_path / "mesh.sock"
+    with TokenServer(pipe, f"unix:{sock}", mesh=mesh) as srv:
+        assert srv._batcher is not None and srv._batcher.mesh is mesh
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        payloads = [_wav_bytes(freq=f) for f in (262.0, 440.0, 660.0)]
+        results = [None] * len(payloads)
+
+        def run(i):
+            results[i] = _client(srv.bound_address, payloads[i])
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(payloads))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        for i, payload in enumerate(payloads):
+            assert results[i] is not None, f"client {i} timed out"
+            ref = []
+            pipe.session().stream_stdin(io.BytesIO(payload), ref.append)
+            assert _drop_end(results[i]) == _drop_end(ref), f"client {i}"
+        assert srv._batcher.stats["spans"] >= 3
+
+
 @pytest.mark.slow
 def test_cli_serve_roundtrip(tmp_path):
     """`nat --serve` as a real subprocess: serves a stream, drains on
