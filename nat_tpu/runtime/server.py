@@ -150,6 +150,10 @@ class SpanBatcher:
                 else:
                     rest.append(item)
             self._queue = rest
+        self._dispatch_batch(batch)
+        return True
+
+    def _dispatch_batch(self, batch: list) -> None:
         futs = [item[5] for item in batch]
         try:
             chunks = [item[1] for item in batch]
@@ -163,10 +167,19 @@ class SpanBatcher:
             for fut, res in zip(futs, results):
                 fut.set_result(res)
         except Exception as exc:
+            if len(batch) > 1:
+                # Don't let one poisoned request fail innocent co-batched
+                # connections: retry each item alone, so only the actual
+                # offender surfaces the error.
+                logger.warn(f"batched dispatch failed "
+                            f"({type(exc).__name__}: {exc}); retrying "
+                            f"{len(batch)} spans individually")
+                for item in batch:
+                    self._dispatch_batch([item])
+                return
             for fut in futs:
                 if not fut.done():
                     fut.set_exception(exc)
-        return True
 
 
 def parse_address(spec: str) -> Tuple[str, Address]:
@@ -284,6 +297,14 @@ class TokenServer:
                 conn, _peer = self._sock.accept()
             except OSError:
                 break  # listener closed
+            if self.family == "tcp":
+                # NDJSON lines are small; Nagle would add up to ~40 ms of
+                # coalescing latency per frame line.
+                try:
+                    conn.setsockopt(socket.IPPROTO_TCP,
+                                    socket.TCP_NODELAY, 1)
+                except OSError:
+                    pass
             self._slots.acquire()
             self._conn_seq += 1
             with self._active_cv:

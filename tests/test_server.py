@@ -275,6 +275,40 @@ class TestTokenServer:
             np.testing.assert_array_equal(got["acoustic_codes"],
                                           ref["acoustic_codes"])
 
+    def test_batch_failure_retries_individually(self, pipeline):
+        """A failing batched dispatch must not poison innocent co-batched
+        requests: the batcher retries each span alone."""
+        from nat_tpu.runtime.server import SpanBatcher
+
+        tok = pipeline.tokenizer
+        tok.ensure_initialized()
+        sr = 8000
+        t = np.arange(sr) / sr
+        segs = [(0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+                for f in (330.0, 550.0)]
+
+        batcher = SpanBatcher(tok, max_group=4, autostart=False)
+        orig = tok.dispatch_prepared_group
+
+        def flaky(chunks, metas, group_size, **kw):
+            if len(chunks) > 1:
+                raise RuntimeError("injected batch failure")
+            return orig(chunks, metas, group_size, **kw)
+
+        tok.dispatch_prepared_group = flaky
+        try:
+            futs = [batcher.submit_span(s[None, :], 0, 0, s.size, 0, sr,
+                                        want_features=False) for s in segs]
+            assert batcher._drain_once()
+            for fut, seg in zip(futs, segs):
+                got = fut.result(timeout=0)
+                ref = tok.tokenize_span(seg[None, :], 0, 0, seg.size, 0,
+                                        sr, want_features=False)
+                np.testing.assert_array_equal(got["semantic_codes"],
+                                              ref["semantic_codes"])
+        finally:
+            tok.dispatch_prepared_group = orig
+
     def test_serve_with_batching_byte_identical(self, pipeline, monkeypatch,
                                                 tmp_path):
         """A server with cross-session batching active serves streams
