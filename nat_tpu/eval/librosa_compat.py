@@ -41,7 +41,12 @@ def _hann_periodic(n: int) -> np.ndarray:
 def stft(y: np.ndarray, n_fft: int = 2048,
          hop_length: Optional[int] = None,
          center: bool = True) -> np.ndarray:
-    """Complex STFT ``[1 + n_fft//2, frames]``, librosa defaults."""
+    """Complex STFT ``[1 + n_fft//2, frames]``, librosa defaults.
+
+    Matches librosa's numerics exactly: the window multiply and FFT run in
+    float64, and the result is stored complex64 (librosa pre-allocates the
+    output as ``util.dtype_r2c(y.dtype)`` and downcasts on store) — so
+    downstream magnitudes/mel/MFCC flow float32, like real librosa."""
     hop = hop_length or n_fft // 4
     y = np.asarray(y, dtype=np.float64).reshape(-1)
     if center:
@@ -49,15 +54,46 @@ def stft(y: np.ndarray, n_fft: int = 2048,
     if y.size < n_fft:
         y = np.pad(y, (0, n_fft - y.size))
     n = (y.size - n_fft) // hop + 1
-    idx = (np.arange(n)[:, None] * hop) + np.arange(n_fft)[None, :]
-    frames = y[idx] * _hann_periodic(n_fft)[None, :]
-    return np.fft.rfft(frames, axis=-1).T
+    # Strided view instead of a fancy-index gather: the [n, n_fft] int64
+    # index array alone was ~200 MB at 300 s / n_fft=2048.  Values are
+    # bitwise identical — only the framing copy is avoided; the window
+    # multiply materializes the same float64 frames.
+    view = np.lib.stride_tricks.sliding_window_view(y, n_fft)[::hop][:n]
+    frames = view * _hann_periodic(n_fft)[None, :]
+    return np.fft.rfft(frames, axis=-1).T.astype(np.complex64)
+
+
+# stft_mag memo: one metric evaluation recomputes the SAME (2048, 512)
+# magnitude spectrogram of the same signal up to ~6 times (spectral MSE,
+# LSD, MFCC mel, onset mel, piptrack, MR-STFT's third scale).  Keyed by a
+# content digest (hashing 26 MB ≈ 10 ms vs ~400 ms per STFT); tiny FIFO
+# so long batch runs can't accumulate spectrograms.
+_stft_mag_cache: "dict" = {}
+_stft_mag_lock = None
 
 
 def stft_mag(y: np.ndarray, n_fft: int = 2048,
              hop_length: Optional[int] = None,
              center: bool = True) -> np.ndarray:
-    return np.abs(stft(y, n_fft, hop_length, center))
+    import hashlib
+    import threading
+
+    global _stft_mag_lock
+    if _stft_mag_lock is None:
+        _stft_mag_lock = threading.Lock()
+    arr = np.ascontiguousarray(y)
+    key = (hashlib.sha1(arr.view(np.uint8).reshape(-1)).hexdigest(),
+           arr.shape, str(arr.dtype), n_fft, hop_length, center)
+    with _stft_mag_lock:
+        hit = _stft_mag_cache.get(key)
+    if hit is not None:
+        return hit
+    mag = np.abs(stft(arr, n_fft, hop_length, center))
+    with _stft_mag_lock:
+        if len(_stft_mag_cache) >= 8:
+            _stft_mag_cache.pop(next(iter(_stft_mag_cache)))
+        _stft_mag_cache[key] = mag
+    return mag
 
 
 def fft_frequencies(sr: float, n_fft: int) -> np.ndarray:
@@ -67,8 +103,14 @@ def fft_frequencies(sr: float, n_fft: int) -> np.ndarray:
 def mel_fb(sr: float, n_fft: int, n_mels: int = 128, fmin: float = 0.0,
            fmax: Optional[float] = None) -> np.ndarray:
     """Slaney-scale, Slaney-normalized mel filterbank ``[n_mels, n_freqs]``
-    (librosa.filters.mel defaults: ``htk=False, norm='slaney'``)."""
+    (librosa.filters.mel defaults: ``htk=False, norm='slaney'``, and
+    float32 output like librosa's ``dtype=np.float32`` default — keeps the
+    mel matmul in float32 instead of promoting the spectrogram)."""
     fmax = fmax if fmax is not None else sr / 2.0
+    key = (float(sr), int(n_fft), int(n_mels), float(fmin), float(fmax))
+    hit = _mel_fb_cache.get(key)
+    if hit is not None:
+        return hit
     freqs = fft_frequencies(sr, n_fft)
     m_pts = np.linspace(hz_to_mel(fmin, "slaney"), hz_to_mel(fmax, "slaney"),
                         n_mels + 2)
@@ -79,7 +121,13 @@ def mel_fb(sr: float, n_fft: int, n_mels: int = 128, fmin: float = 0.0,
     upper = ramps[2:] / fdiff[1:, None]
     fb = np.maximum(0.0, np.minimum(lower, upper))
     enorm = 2.0 / (f_pts[2:n_mels + 2] - f_pts[:n_mels])
-    return fb * enorm[:, None]
+    out = (fb * enorm[:, None]).astype(np.float32)
+    if len(_mel_fb_cache) < 16:
+        _mel_fb_cache[key] = out
+    return out
+
+
+_mel_fb_cache: "dict" = {}
 
 
 def melspectrogram(y: np.ndarray, sr: float, n_fft: int = 2048,
