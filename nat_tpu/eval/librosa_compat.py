@@ -59,8 +59,16 @@ def stft(y: np.ndarray, n_fft: int = 2048,
     # bitwise identical — only the framing copy is avoided; the window
     # multiply materializes the same float64 frames.
     view = np.lib.stride_tricks.sliding_window_view(y, n_fft)[::hop][:n]
-    frames = view * _hann_periodic(n_fft)[None, :]
-    return np.fft.rfft(frames, axis=-1).T.astype(np.complex64)
+    win = _hann_periodic(n_fft)[None, :]
+    # Blocked like librosa (MAX_MEM_BLOCK): the complex128 FFT result is
+    # downcast on assignment per block instead of materializing the full
+    # [n, n_fft] complex128 array (~200 MB at 300 s) and copying it again.
+    out = np.empty((n, n_fft // 2 + 1), dtype=np.complex64)
+    block = max(1, (1 << 18) // n_fft)
+    for lo in range(0, n, block):
+        hi = min(n, lo + block)
+        out[lo:hi] = np.fft.rfft(view[lo:hi] * win, axis=-1)
+    return out.T
 
 
 # stft_mag memo: one metric evaluation recomputes the SAME (2048, 512)
