@@ -278,6 +278,57 @@ class TokenServer:
                 f"(max_group={self._batcher.max_group}"
                 + (f", dp={mesh.shape['dp']}" if mesh is not None else "")
                 + ")")
+        # Pre-compile the forward programs a long-stream client will need
+        # (the 30 s bucket at [1] and [G] rows) while the daemon is idle,
+        # instead of on the first client's back.  "auto" = accelerators
+        # only (CPU compiles are slow and tests drive exact shapes);
+        # NAT_TPU_SERVE_PREWARM=1/0 forces.
+        prewarm = os.environ.get("NAT_TPU_SERVE_PREWARM", "auto")
+        if prewarm != "0" and hasattr(tok, "_forward_for"):
+            on_accel = False
+            if prewarm in ("1", "true"):
+                on_accel = True
+            elif prewarm == "auto":
+                try:
+                    import jax
+
+                    on_accel = any(d.platform != "cpu"
+                                   for d in jax.devices())
+                except Exception:
+                    on_accel = False
+            if on_accel:
+                threading.Thread(target=self._prewarm, daemon=True,
+                                 name="nat-serve-prewarm").start()
+
+    # ------------------------------------------------------------------
+    def _prewarm(self) -> None:
+        """Compile the streaming forward programs for the configured sample
+        rate's largest (30 s) bucket at [1] and [max_group] rows — the
+        shapes every long-stream connection needs.  Best-effort: any
+        failure just means the first client pays the compile instead."""
+        try:
+            import numpy as np
+
+            import jax
+
+            from .bucketing import MAX_SINGLE_CHUNK_S, bucket_length
+
+            tok = self.pipeline.tokenizer
+            sr = self.pipeline.sample_rate
+            bucket = bucket_length(int(MAX_SINGLE_CHUNK_S * sr), sr)
+            forward, _ = tok._forward_for(bucket, sr)
+            rng = jax.random.PRNGKey(0)
+            rows = {1}
+            if self._batcher is not None:
+                rows.add(self._batcher.max_group)
+            for r in sorted(rows):
+                out = forward(tok.params, tok.sem_rvq, tok.acc_rvq,
+                              np.zeros((r, bucket), np.float32), rng)
+                np.asarray(out["semantic_codes"])   # force completion
+            logger.info(f"Prewarmed forward programs: bucket={bucket} "
+                        f"rows={sorted(rows)}")
+        except Exception as exc:
+            logger.debug(f"Prewarm skipped: {type(exc).__name__}: {exc}")
 
     # ------------------------------------------------------------------
     @property

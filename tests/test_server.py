@@ -487,6 +487,40 @@ class TestTokenServer:
 
         assert not healthcheck(f"unix:{tmp_path}/nothing.sock", timeout=1)
 
+    def test_prewarm_compiles_stream_shapes(self, pipeline, monkeypatch,
+                                            tmp_path):
+        """NAT_TPU_SERVE_PREWARM=1 compiles the 30 s-bucket forward at
+        [1] and [max_group] rows at startup (stubbed forward: the wiring,
+        not the compile, is under test)."""
+        import time as _time
+
+        from nat_tpu.runtime.bucketing import (MAX_SINGLE_CHUNK_S,
+                                               bucket_length)
+        from nat_tpu.runtime.server import TokenServer
+
+        monkeypatch.setenv("NAT_TPU_SERVE_PREWARM", "1")
+        monkeypatch.setenv("NAT_TPU_STREAM_GROUP", "4")
+        tok = pipeline.tokenizer
+        calls = []
+
+        def fake_forward_for(bucket, sr=None):
+            def fake(params, s, a, wave, rng):
+                calls.append(tuple(wave.shape))
+                return {"semantic_codes":
+                        np.zeros((4, wave.shape[0], 1), np.int32)}
+            return fake, None
+
+        monkeypatch.setattr(tok, "_forward_for", fake_forward_for)
+        with TokenServer(pipeline, f"unix:{tmp_path}/p.sock"):
+            deadline = _time.time() + 20
+            while len(calls) < 2 and _time.time() < deadline:
+                _time.sleep(0.05)
+        assert sorted(c[0] for c in calls) == [1, 4]
+        expected_bucket = bucket_length(
+            int(MAX_SINGLE_CHUNK_S * pipeline.sample_rate),
+            pipeline.sample_rate)
+        assert all(c[1] == expected_bucket for c in calls)
+
     def test_compat_pipeline_serves_buffered(self, tmp_path):
         """Compat mode has no incremental tokenizer: the server must route
         every connection through the buffered whole-file path and still
