@@ -129,6 +129,9 @@ class TokenClient:
                 lines = []
         if lines:
             raise ValueError("truncated stream: no end event")
+        if not streams:
+            raise ValueError("no complete streams returned (daemon "
+                             "rejected or dropped the payload)")
         return streams
 
     def tokenize_file(self, path: str) -> TokenStream:

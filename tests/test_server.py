@@ -482,6 +482,17 @@ class TestTokenServer:
         np.testing.assert_array_equal(solo.semantic, streams[0].semantic)
         np.testing.assert_array_equal(solo.acoustic, streams[0].acoustic)
 
+    def test_token_client_rejected_payload_raises(self, pipeline, server):
+        """A payload the daemon rejects (corrupt container: the AU reader
+        fails before any header emits) surfaces as ValueError from
+        tokenize(), not a silent empty result."""
+        from nat_tpu.client import TokenClient
+
+        corrupt_au = b".snd" + bytes(60)   # encoding 0 = invalid
+        client = TokenClient(f"unix:{server.bound_address}")
+        with pytest.raises(ValueError, match="no complete streams"):
+            client.tokenize(corrupt_au)
+
     def test_token_client_healthcheck_down(self, tmp_path):
         from nat_tpu.client import healthcheck
 
