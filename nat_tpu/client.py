@@ -129,9 +129,15 @@ class TokenClient:
                 lines = []
         if lines:
             raise ValueError("truncated stream: no end event")
-        if not streams:
-            raise ValueError("no complete streams returned (daemon "
-                             "rejected or dropped the payload)")
+        if len(streams) != len(sources):
+            # A multi-file request where the daemon errored partway (e.g.
+            # an undecodable middle file) returns fewer complete streams
+            # than sources; a silent short list would misalign per-source
+            # results for the caller.
+            raise ValueError(
+                f"daemon returned {len(streams)} complete stream(s) for "
+                f"{len(sources)} source(s) (payload rejected or connection "
+                f"dropped partway)")
         return streams
 
     def tokenize_file(self, path: str) -> TokenStream:

@@ -456,6 +456,7 @@ class StreamingCodecReader:
         self._pending: Optional[np.ndarray] = None
         self._eof = False
         self._failed = False
+        self._eof_error = "decode failed"
 
     @property
     def ready(self) -> bool:
@@ -484,11 +485,14 @@ class StreamingCodecReader:
 
         try:
             samples, sr = codecs.decode_bytes(bytes(self._buf))
-        except Exception:
-            # Not decodable *yet* (e.g. partial header pages); a failure
-            # at EOF with nothing ever decoded is terminal.
-            if self._eof and self.sample_rate is None:
+        except Exception as exc:
+            # Not decodable *yet* (e.g. partial header pages) is fine
+            # mid-stream; at EOF any failure is terminal — even after
+            # successful mid-stream probes, or the held-back tail (and
+            # everything after the last good probe) would vanish silently.
+            if self._eof:
                 self._failed = True
+                self._eof_error = str(exc)
             return
         self.sample_rate = int(sr)
         hold = 0 if self._eof else self.HOLDBACK
@@ -512,13 +516,9 @@ class StreamingCodecReader:
         self._probe()
         if self.sample_rate is None:
             raise ValueError("compressed stream could not be decoded")
-
-
-def _looks_like_mp3(head: bytes) -> bool:
-    if head[:3] == b"ID3":
-        return True
-    return (len(head) >= 2 and head[0] == 0xFF
-            and (head[1] & 0xE0) == 0xE0)
+        if self._failed:
+            raise ValueError("compressed stream ended with undecodable "
+                             f"bytes: {self._eof_error}")
 
 
 def _read_block(stream, n: int) -> bytes:
@@ -563,7 +563,14 @@ def make_stream_reader(head: bytes):
         return StreamingAuReader()
     if head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
         return StreamingAiffReader()
-    if head[4:8] == b"ftyp" or head[:4] == b"OggS" or _looks_like_mp3(head):
+    # Perceptual codecs: share the buffered ladder's STRICT sniffer
+    # (audio._sniff_compressed validates MPEG version/layer/bitrate/srate
+    # fields) so a raw-PCM stream whose first sample happens to contain a
+    # 0xFF sync byte keeps falling through to the buffered raw-PCM
+    # reinterpretation instead of erroring in the codec shim.
+    from .audio import _sniff_compressed
+
+    if _sniff_compressed(head[:16]) is not None:
         from . import codecs
 
         if codecs.available():
@@ -767,39 +774,58 @@ def eager_events(gen, max_queue: int = 256):
 
     q: "_queue.Queue" = _queue.Queue(maxsize=max_queue)
     _EOF = ("__eof__", None)
+    stop = _threading.Event()
+
+    def _put(ev) -> bool:
+        # Bounded-queue backpressure that stays abandonable: a consumer
+        # that exits mid-stream (client disconnect in the serving daemon)
+        # sets ``stop``, and the pump must not park in ``q.put`` forever —
+        # that would leak one thread plus a full queue of sample buffers
+        # per aborted stream in a long-lived process.
+        while not stop.is_set():
+            try:
+                q.put(ev, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def pump():
         try:
             for ev in gen:
-                q.put(ev)
-            q.put(_EOF)
+                if not _put(ev):
+                    return
+            _put(_EOF)
         except BaseException as exc:  # surfaced on the consumer side
-            q.put(("__err__", exc))
+            _put(("__err__", exc))
 
     _threading.Thread(target=pump, daemon=True,
                       name="nat-stream-prefetch").start()
 
-    pushback = None
-    while True:
-        kind, payload = pushback if pushback is not None else q.get()
+    try:
         pushback = None
-        if kind == "__eof__":
-            return
-        if kind == "__err__":
-            raise payload
-        if kind != "samples":
-            yield kind, payload
-            continue
-        parts = [payload]
-        while True:                 # merge whatever has ALREADY arrived
-            try:
-                nxt = q.get_nowait()
-            except _queue.Empty:
-                break
-            if nxt[0] == "samples":
-                parts.append(nxt[1])
-            else:
-                pushback = nxt
-                break
-        yield ("samples",
-               parts[0] if len(parts) == 1 else np.concatenate(parts))
+        while True:
+            kind, payload = pushback if pushback is not None else q.get()
+            pushback = None
+            if kind == "__eof__":
+                return
+            if kind == "__err__":
+                raise payload
+            if kind != "samples":
+                yield kind, payload
+                continue
+            parts = [payload]
+            while True:             # merge whatever has ALREADY arrived
+                try:
+                    nxt = q.get_nowait()
+                except _queue.Empty:
+                    break
+                if nxt[0] == "samples":
+                    parts.append(nxt[1])
+                else:
+                    pushback = nxt
+                    break
+            yield ("samples",
+                   parts[0] if len(parts) == 1 else np.concatenate(parts))
+    finally:
+        stop.set()

@@ -917,6 +917,13 @@ class NeuralAudioTokenizer:
                     self._pcm16_cvt = jax.jit(pcm.convert_on_device)
                 dev = self._pcm16_cvt(dev, jnp.float32(pcm_divisor))
             rng = jax.device_put(rng, replicated(mesh))
+            # Sharded dispatch must bypass the AOT executable cache: its
+            # entries are keyed/compiled from shape-only avals, so a
+            # single-device executable (possibly prewarmed for this exact
+            # shape) would reject dp-sharded inputs.  The raw jit path
+            # retraces per input sharding and partitions correctly.
+            if isinstance(forward, _AotForwardDispatch):
+                forward = forward.jitted
         out = forward(params, sem_rvq, acc_rvq, dev, rng)
         return out, metas
 

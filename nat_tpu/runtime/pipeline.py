@@ -928,9 +928,15 @@ class AudioTokenizationPipeline:
             audio, sr = item
             try:
                 encode_start = time.time()
+                # Thread want_features into the sequential path too (the
+                # compat tokenizer has no device features to skip): the dp
+                # fallback must not re-fetch feature maps the caller asked
+                # to leave on device.
+                kwargs = ({} if self.compat_mode
+                          else {"want_features": want_features})
                 with annotate("nat/tokenize"):
                     result = self.tokenizer(audio[None, :],
-                                            actual_sample_rate=sr)
+                                            actual_sample_rate=sr, **kwargs)
                 results[i] = (audio, sr, result, time.time() - encode_start)
             except Exception as exc:
                 results[i] = exc

@@ -316,14 +316,19 @@ class TokenServer:
             tok = self.pipeline.tokenizer
             sr = self.pipeline.sample_rate
             bucket = bucket_length(int(MAX_SINGLE_CHUNK_S * sr), sr)
-            forward, _ = tok._forward_for(bucket, sr)
             rng = jax.random.PRNGKey(0)
             rows = {1}
             if self._batcher is not None:
                 rows.add(self._batcher.max_group)
             for r in sorted(rows):
-                out = forward(tok.params, tok.sem_rvq, tok.acc_rvq,
-                              np.zeros((r, bucket), np.float32), rng)
+                # Per-shape lock scope: compile-cache mutation is confined
+                # to _device_lock holders (tokenizer invariant), and an
+                # early client needing a DIFFERENT bucket only waits one
+                # shape's compile, not the whole prewarm.
+                with tok._device_lock:
+                    forward, _ = tok._forward_for(bucket, sr)
+                    out = forward(tok.params, tok.sem_rvq, tok.acc_rvq,
+                                  np.zeros((r, bucket), np.float32), rng)
                 np.asarray(out["semantic_codes"])   # force completion
             logger.info(f"Prewarmed forward programs: bucket={bucket} "
                         f"rows={sorted(rows)}")

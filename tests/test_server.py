@@ -115,6 +115,58 @@ def test_serve_mesh_sharded_batching_byte_identical(tmp_path):
         assert srv._batcher.stats["spans"] >= 3
 
 
+@pytest.mark.mesh
+@pytest.mark.skipif(
+    int(__import__("os").environ.get("NAT_TPU_TEST_DEVICES", "1")) < 8,
+    reason="needs virtual devices (NAT_TPU_TEST_DEVICES=8)")
+def test_mesh_dispatch_bypasses_aot_executable_cache(tmp_path, monkeypatch):
+    """Sharded span dispatch must not reuse the shape-keyed AOT executable
+    cache: an unsharded executable compiled (or prewarmed) for the exact
+    same batch shape rejects dp-sharded inputs.  Populate the cache with
+    the single-device [4, bucket] program first, then dispatch the same
+    shape through a dp=4 mesh and require byte-identical results."""
+    import jax
+
+    from nat_tpu.models.tokenizer import NeuralAudioTokenizer
+    from nat_tpu.parallel.mesh import make_mesh
+    from nat_tpu.runtime.server import SpanBatcher
+
+    monkeypatch.setenv("NAT_TPU_AOT_CACHE", "1")
+    monkeypatch.setenv("NAT_TPU_AOT_CACHE_DIR", str(tmp_path))
+
+    tok = NeuralAudioTokenizer(
+        sample_rate=8000, semantic_dim=64, acoustic_dim=64,
+        codebook_size=64, num_quantizers=4, n_mels=32,
+        enable_reconstruction=False, codebook_init_method="random",
+        enable_codebook_cache=False, use_pretrained_semantic=False,
+        semantic_arch="spectral")
+    tok.ensure_initialized()
+    sr = 8000
+    t = np.arange(sr) / sr
+    segs = [(0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+            for f in (220.0, 330.0, 440.0, 550.0)]
+
+    chunks, metas = zip(*(tok.prepare_span(s[None, :], 0, 0, s.size, 0, sr)
+                          for s in segs))
+    out_ref, metas_ref = tok.dispatch_prepared_group(
+        list(chunks), list(metas), 4)
+    ref = list(tok.finalize_span_group(out_ref, metas_ref,
+                                       want_features=False))
+
+    mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+    batcher = SpanBatcher(tok, max_group=4, autostart=False, mesh=mesh)
+    futs = [batcher.submit_span(s[None, :], 0, 0, s.size, 0, sr,
+                                want_features=False) for s in segs]
+    assert batcher._drain_once()
+    assert batcher.stats["dispatches"] == 1
+    for fut, r in zip(futs, ref):
+        got = fut.result(timeout=0)
+        np.testing.assert_array_equal(got["semantic_codes"],
+                                      r["semantic_codes"])
+        np.testing.assert_array_equal(got["acoustic_codes"],
+                                      r["acoustic_codes"])
+
+
 @pytest.mark.slow
 def test_cli_serve_roundtrip(tmp_path):
     """`nat --serve` as a real subprocess: serves a stream, drains on
@@ -490,8 +542,37 @@ class TestTokenServer:
 
         corrupt_au = b".snd" + bytes(60)   # encoding 0 = invalid
         client = TokenClient(f"unix:{server.bound_address}")
-        with pytest.raises(ValueError, match="no complete streams"):
+        with pytest.raises(ValueError, match="0 complete stream"):
             client.tokenize(corrupt_au)
+
+    def test_token_client_partial_multifile_raises(self, tmp_path):
+        """A daemon that dies partway through a multi-file request (one
+        complete stream for two sources) must raise, never return a
+        misaligned short list."""
+        from nat_tpu.client import TokenClient
+
+        sock = str(tmp_path / "fake.sock")
+        srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        srv.bind(sock)
+        srv.listen(1)
+
+        def fake_daemon():
+            conn, _ = srv.accept()
+            while conn.recv(1 << 16):
+                pass                       # drain the upload to EOF
+            conn.sendall(b'{"event":"header","layers":[]}\n'
+                         b'{"event":"end","stats":{}}\n')
+            conn.close()
+
+        t = threading.Thread(target=fake_daemon, daemon=True)
+        t.start()
+        try:
+            client = TokenClient(f"unix:{sock}")
+            with pytest.raises(ValueError,
+                               match=r"1 complete stream\(s\) for 2"):
+                client.tokenize(b"aaaa", b"bbbb")
+        finally:
+            srv.close()
 
     def test_token_client_healthcheck_down(self, tmp_path):
         from nat_tpu.client import healthcheck

@@ -599,6 +599,84 @@ class TestStreamingCodecReader:
         with pytest.raises(ValueError):
             list(iter_stream_samples(io.BytesIO(junk)))
 
+    def test_corrupt_tail_after_good_probes_raises(self, monkeypatch):
+        """An EOF decode failure AFTER successful mid-stream probes must
+        raise — silently passing would drop the held-back tail (plus
+        everything after the last good probe) from the token stream."""
+        from nat_tpu.io import codecs
+        from nat_tpu.io.stream_reader import StreamingCodecReader
+
+        def fake_decode(data):
+            if len(data) >= 100_000:
+                raise ValueError("injected corrupt tail")
+            return np.zeros(len(data) // 4, np.float32), 22050
+
+        monkeypatch.setattr(codecs, "decode_bytes", fake_decode)
+        r = StreamingCodecReader()
+        r.feed(b"x" * 20_000)          # past PROBE_MIN
+        assert r.take_samples() is not None and r.ready
+        r.feed(b"y" * 90_000)          # EOF decode of 110 KB now fails
+        with pytest.raises(ValueError, match="undecodable"):
+            r.finish()
+
+
+class TestMakeStreamReader:
+    def test_pcm_ff_sync_byte_not_claimed(self):
+        """Raw-PCM bytes whose first sample contains an MP3-ish sync
+        pattern (0xFF + 3 set bits) must NOT be claimed by the codec
+        reader: the strict sniffer validates MPEG header fields, so the
+        payload keeps falling through to the buffered raw-PCM ladder."""
+        from nat_tpu.io.stream_reader import make_stream_reader
+
+        # int16 sample -1 = FF FF: version bits = 3 ok, but layer = 3 with
+        # bitrate nibble 15 → invalid for MP3, and not ADTS either.
+        assert make_stream_reader(b"\xff\xff" * 32) is None
+        # all-0xE0 second byte with invalid sampling-rate field
+        assert make_stream_reader(b"\xff\xef" + bytes(62)) is None
+
+    def test_real_mp3_frame_header_claimed(self):
+        """A structurally valid bare MPEG frame header still routes to the
+        codec reader (when the shim is present)."""
+        from nat_tpu.io import codecs
+        from nat_tpu.io.stream_reader import (StreamingCodecReader,
+                                              make_stream_reader)
+
+        if not codecs.available():
+            pytest.skip("codec shim unavailable")
+        # 0xFFFB = MPEG1 Layer III; 0x90 = bitrate 128k, 44.1 kHz
+        head = b"\xff\xfb\x90\x00" + bytes(60)
+        assert isinstance(make_stream_reader(head), StreamingCodecReader)
+        # ID3-tagged mp3 too
+        assert isinstance(make_stream_reader(b"ID3" + bytes(61)),
+                          StreamingCodecReader)
+
+
+def test_eager_events_pump_exits_when_consumer_abandons(monkeypatch):
+    """A consumer that abandons the prefetch generator mid-stream (serving
+    client disconnect) must not leave the pump thread parked in q.put
+    forever — each leak holds a full queue of sample buffers in a
+    long-lived daemon."""
+    import threading
+
+    from nat_tpu.io.stream_reader import eager_events
+
+    monkeypatch.delenv("NAT_TPU_STREAM_PREFETCH", raising=False)
+
+    def gen():
+        yield "rate", 8000
+        while True:                      # endless producer, fills the queue
+            yield "samples", np.zeros(16, np.float32)
+
+    pre = set(threading.enumerate())
+    it = eager_events(gen(), max_queue=4)
+    assert next(it) == ("rate", 8000)
+    pumps = [t for t in threading.enumerate()
+             if t not in pre and t.name == "nat-stream-prefetch"]
+    assert len(pumps) == 1
+    it.close()                           # abandon with the queue full
+    pumps[0].join(timeout=5)
+    assert not pumps[0].is_alive()
+
 
 @pytest.mark.slow
 def test_cli_stream_stdin_mp3(cli):

@@ -197,3 +197,33 @@ def test_want_features_false_skips_fetch_keeps_tokens(monkeypatch):
         np.stack([np.asarray(c) for c in with_f["acoustic_codes"]]),
         np.stack([np.asarray(c) for c in without_f["acoustic_codes"]]))
     assert with_f["losses"] == without_f["losses"]
+
+
+def test_tokenize_many_sequential_path_honors_want_features(tmp_path):
+    """The dp runner threads want_features; the sequential path (single
+    file, or dp-fallback) must too — re-fetching feature maps the caller
+    asked to skip costs tens of MB per span group on a remote backend."""
+    from nat_tpu.io.audio import encode_wav_pcm16
+    from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    path = tmp_path / "tone.wav"
+    path.write_bytes(encode_wav_pcm16(x, sr))
+
+    pipe = AudioTokenizationPipeline(
+        sample_rate=sr,
+        model_config={"codebook_size": 64, "semantic_dim": 32,
+                      "acoustic_dim": 32, "n_mels": 16},
+        enable_reconstruction=False,
+        codebook_init_method="random",
+        enable_codebook_cache=False,
+    )
+    # One file → dp_eligible has a single entry → sequential loop.
+    (res,) = pipe._tokenize_many([str(path)], want_features=False)
+    assert not isinstance(res, Exception)
+    result = res[2]
+    assert result["semantic_features"] is None
+    assert result["acoustic_features"] is None
+    assert len(result["semantic_codes"]) == 4
