@@ -456,7 +456,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         # Sniff before committing: WAV/AIFF/AU/FLAC streams decode
         # incrementally; anything else falls back to buffered stdin with
         # no bytes lost.
-        from .io.stream_reader import make_stream_reader, read_sniff
+        from .io.stream_reader import (PrefixedStream, make_stream_reader,
+                                       read_sniff)
 
         # First-available-block sniff: a greedy read(64K) would add up to
         # 64 KB of producer latency before the header even emits on a live
@@ -465,7 +466,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         # iter_fs_streams drops leading FS separators itself; sniff past
         # them so FS-prefixed pipes still stream.
         if make_stream_reader(head.lstrip(b"\x1c")) is not None:
-            pipeline.stream_stdin(_PrefixedStream(head, sys.stdin.buffer),
+            pipeline.stream_stdin(PrefixedStream(head, sys.stdin.buffer),
                                   logger.stdout)
             return 0
         logger.warn("--stream-stdin: input is not an incrementally "
@@ -521,36 +522,6 @@ def main(argv: Optional[List[str]] = None) -> int:
                         default_mode, enable_reconstruction)
     finally:
         cleanup_temp_files(temp_files)
-
-
-class _PrefixedStream:
-    """Binary reader that replays sniffed bytes before the live stream."""
-
-    def __init__(self, prefix: bytes, stream) -> None:
-        self._prefix = prefix
-        self._stream = stream
-
-    def read(self, n: int = -1) -> bytes:
-        if self._prefix:
-            if n is None or n < 0:
-                out = self._prefix + self._stream.read(n)
-                self._prefix = b""
-                return out
-            out, self._prefix = self._prefix[:n], self._prefix[n:]
-            return out
-        return self._stream.read(n)
-
-    def read1(self, n: int = -1) -> bytes:
-        """First-available-block read (keeps live-pipe latency at producer
-        granularity after the sniff; see io/stream_reader._read_block)."""
-        if self._prefix:
-            out = self._prefix if n is None or n < 0 else self._prefix[:n]
-            self._prefix = self._prefix[len(out):]
-            return out
-        r1 = getattr(self._stream, "read1", None)
-        if r1 is not None:
-            return r1(n)
-        return self._stream.read(n)
 
 
 def _execute(args, parser, pipeline, input_files: List[str],

@@ -30,7 +30,7 @@ import threading
 from typing import IO, Iterator, List, Optional, Union
 
 from .runtime.server import parse_address
-from .stream.reader import TokenStream, parse_ndjson_stream
+from .stream.reader import TokenStream, parse_events
 
 BytesLike = Union[bytes, bytearray, memoryview]
 
@@ -120,14 +120,14 @@ class TokenClient:
                     payloads.append(f.read())
             else:
                 payloads.append(bytes(src))
-        lines: List[str] = []
+        events: List[dict] = []
         streams: List[TokenStream] = []
         for event in self.stream(FS.join(payloads)):
-            lines.append(json.dumps(event, separators=(",", ":")))
+            events.append(event)
             if event.get("event") == "end":
-                streams.append(parse_ndjson_stream("\n".join(lines)))
-                lines = []
-        if lines:
+                streams.append(parse_events(events))
+                events = []
+        if events:
             raise ValueError("truncated stream: no end event")
         if len(streams) != len(sources):
             # A multi-file request where the daemon errored partway (e.g.

@@ -37,6 +37,16 @@ def recover_pcm16(wave: np.ndarray) -> Optional[Tuple[np.ndarray, np.float32]]:
     amax = float(np.abs(wave).max())
     if not (0.0 < amax <= 1.0) or not np.isfinite(amax):
         return None
+
+    # Fast path: un-normalized PCM16 (e.g. --stream-stdin skips global
+    # peak normalization because the peak isn't known until EOF) is plain
+    # i16/32768 — divisor exactly 1.0, no max|i16| constraint.  One
+    # rint+verify pass; hits on EVERY span of a PCM16 stdin/serving
+    # stream, skipping the 32768-candidate screen below (which costs
+    # several full-array float64 passes per ~30 s span).
+    fast = _try_m(wave, 32768, need_peak=False)
+    if fast is not None:
+        return fast
     flat = np.abs(wave.reshape(-1).astype(np.float64))
 
     # peak_normalize maps the PEAK to ~1.0 for every M (= max|i16|), so M
@@ -64,27 +74,32 @@ def recover_pcm16(wave: np.ndarray) -> Optional[Tuple[np.ndarray, np.float32]]:
         alive &= ok & (err <= 1.2e-7 * w_ref)
         if not alive.any():
             return None
-    survivors = [(int(m), True) for m in (np.nonzero(alive)[0] + 1)[:8]]
-    # Un-normalized PCM16 (e.g. --stream-stdin skips global peak
-    # normalization): plain i16/32768, i.e. divisor exactly 1.0 with no
-    # max|i16| constraint.
-    survivors.append((32768, False))
-    for m, need_peak in survivors:
-        divisor = np.float32(np.float32(m) / _F32_32768 + np.float32(1e-8))
-        if divisor <= 0:
-            continue
-        # float64 inversion: |error| << 0.5 over the int16 range, so rint
-        # recovers the exact integers if this m is right.
-        cand = np.rint(wave.astype(np.float64) * (float(divisor) * 32768.0))
-        if need_peak:
-            if np.abs(cand).max() != m:
-                continue
-        elif cand.max() > 32767 or cand.min() < -32768:
-            continue
-        i16 = cand.astype(np.int16)
-        rebuilt = (i16.astype(np.float32) / _F32_32768) / divisor
-        if np.array_equal(rebuilt.view(np.uint32), wave.view(np.uint32)):
-            return i16, divisor
+    for m in (np.nonzero(alive)[0] + 1)[:8]:
+        hit = _try_m(wave, int(m), need_peak=True)
+        if hit is not None:
+            return hit
+    return None
+
+
+def _try_m(wave: np.ndarray, m: int,
+           need_peak: bool) -> Optional[Tuple[np.ndarray, np.float32]]:
+    """Attempt one candidate max|i16| value; the full-array bitwise
+    rebuild comparison is the authoritative gate."""
+    divisor = np.float32(np.float32(m) / _F32_32768 + np.float32(1e-8))
+    if divisor <= 0:
+        return None
+    # float64 inversion: |error| << 0.5 over the int16 range, so rint
+    # recovers the exact integers if this m is right.
+    cand = np.rint(wave.astype(np.float64) * (float(divisor) * 32768.0))
+    if need_peak:
+        if np.abs(cand).max() != m:
+            return None
+    elif cand.max() > 32767 or cand.min() < -32768:
+        return None
+    i16 = cand.astype(np.int16)
+    rebuilt = (i16.astype(np.float32) / _F32_32768) / divisor
+    if np.array_equal(rebuilt.view(np.uint32), wave.view(np.uint32)):
+        return i16, divisor
     return None
 
 

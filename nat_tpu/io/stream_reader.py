@@ -457,6 +457,7 @@ class StreamingCodecReader:
         self._eof = False
         self._failed = False
         self._eof_error = "decode failed"
+        self._warned_fs = False
 
     @property
     def ready(self) -> bool:
@@ -479,6 +480,29 @@ class StreamingCodecReader:
     def feed(self, data: bytes) -> None:
         self._buf += data
         self._sha.update(data)
+        # FS multiplexing cannot split a compressed bitstream (any byte may
+        # appear in it), so a producer that sends `song.mp3 <FS> next.wav`
+        # would get next.wav silently absorbed into the mp3's buffer and
+        # digest.  Cheap heuristic to make that loud: warn once when an FS
+        # byte is followed by a recognizable container header.
+        if not self._warned_fs:
+            lo = max(0, len(self._buf) - len(data) - 17)
+            window = bytes(self._buf[lo:])
+            idx = window.find(b"\x1c")
+            while idx != -1:
+                head = window[idx + 1:idx + 17]
+                if len(head) >= 12 and make_stream_reader(head) is not None:
+                    from ..utils.logging import logger
+
+                    logger.warn(
+                        "FS separator followed by a container header inside "
+                        "a compressed stream: perceptual codecs cannot be "
+                        "FS-multiplexed (the remainder is treated as part of "
+                        "this stream). Send compressed files on separate "
+                        "pipes/connections, or place them last.")
+                    self._warned_fs = True
+                    break
+                idx = window.find(b"\x1c", idx + 1)
 
     def _probe(self) -> None:
         from . import codecs
@@ -543,7 +567,8 @@ def read_sniff(stream, min_bytes: int = 64, cap: int = 1 << 16) -> bytes:
     Accumulates first-available blocks until ``min_bytes`` non-FS bytes
     (``make_stream_reader`` needs ≤12; margin for ID3/ftyp probing) or
     EOF — never the full ``cap`` unless it arrives in one block.  The
-    returned bytes must be replayed ahead of the stream (cli._PrefixedStream)."""
+    returned bytes must be replayed ahead of the stream
+    (:class:`PrefixedStream`)."""
     buf = b""
     while len(buf.lstrip(b"\x1c")) < min_bytes:
         block = _read_block(stream, cap)
@@ -551,6 +576,37 @@ def read_sniff(stream, min_bytes: int = 64, cap: int = 1 << 16) -> bytes:
             break
         buf += block
     return buf
+
+
+class PrefixedStream:
+    """Binary reader that replays sniffed bytes before the live stream
+    (the companion of :func:`read_sniff`)."""
+
+    def __init__(self, prefix: bytes, stream) -> None:
+        self._prefix = prefix
+        self._stream = stream
+
+    def read(self, n: int = -1) -> bytes:
+        if self._prefix:
+            if n is None or n < 0:
+                out = self._prefix + self._stream.read(n)
+                self._prefix = b""
+                return out
+            out, self._prefix = self._prefix[:n], self._prefix[n:]
+            return out
+        return self._stream.read(n)
+
+    def read1(self, n: int = -1) -> bytes:
+        """First-available-block read (keeps live-pipe latency at producer
+        granularity after the sniff; see :func:`_read_block`)."""
+        if self._prefix:
+            out = self._prefix if n is None or n < 0 else self._prefix[:n]
+            self._prefix = self._prefix[len(out):]
+            return out
+        r1 = getattr(self._stream, "read1", None)
+        if r1 is not None:
+            return r1(n)
+        return self._stream.read(n)
 
 
 def make_stream_reader(head: bytes):

@@ -602,28 +602,29 @@ class NeuralAudioTokenizer:
                 else:
                     temp, seed_s, seed_a = None, None, None
                 sem_codes, sem_q, sem_losses = rvq_encode_pallas(
-                    sem_rvq, sem_a, temperature=temp, seed=seed_s)
+                    sem_rvq, sem_a, temperature=temp, seed=seed_s,
+                    per_row=True)
                 acc_codes, acc_q, acc_losses = rvq_encode_pallas(
-                    acc_rvq, acc_a, temperature=temp, seed=seed_a)
-                losses = {
-                    "semantic_vq_loss": sem_losses["total_vq_loss"],
-                    "acoustic_vq_loss": acc_losses["total_vq_loss"],
-                    "total_vq_loss": (sem_losses["total_vq_loss"]
-                                      + acc_losses["total_vq_loss"]),
-                }
+                    acc_rvq, acc_a, temperature=temp, seed=seed_a,
+                    per_row=True)
             else:
                 sem_codes, sem_q, sem_losses = rvq_encode(
                     sem_rvq, sem_a, temperature=self.temperature,
-                    stochastic=stochastic, rng=rng_s)
+                    stochastic=stochastic, rng=rng_s, per_row=True)
                 acc_codes, acc_q, acc_losses = rvq_encode(
                     acc_rvq, acc_a, temperature=self.temperature,
-                    stochastic=stochastic, rng=rng_a)
-                losses = {
-                    "semantic_vq_loss": sem_losses["total_vq_loss"],
-                    "acoustic_vq_loss": acc_losses["total_vq_loss"],
-                    "total_vq_loss": (sem_losses["total_vq_loss"]
-                                      + acc_losses["total_vq_loss"]),
-                }
+                    stochastic=stochastic, rng=rng_a, per_row=True)
+            # Losses are per-ROW [B] vectors: batched span groups are
+            # independent rows, so a batch-mean would mix spans and count
+            # the zero-padding rows (grouped vs sequential runs of the
+            # same input would then report different losses).  finalize
+            # slices each span's own row.
+            losses = {
+                "semantic_vq_loss": sem_losses["total_vq_loss"],
+                "acoustic_vq_loss": acc_losses["total_vq_loss"],
+                "total_vq_loss": (sem_losses["total_vq_loss"]
+                                  + acc_losses["total_vq_loss"]),
+            }
 
             reconstructed = None
             if reconstruct:
@@ -631,7 +632,8 @@ class NeuralAudioTokenizer:
                 reconstructed = self.decoder.apply(
                     {"params": params["decoder"]}, joint, out_samples)
                 recon_loss = jnp.mean(
-                    (reconstructed - waveform[:, :out_samples]) ** 2)
+                    (reconstructed - waveform[:, :out_samples]) ** 2,
+                    axis=1)                                       # [B]
                 losses = dict(losses, reconstruction_loss=recon_loss)
 
             return {
@@ -927,6 +929,18 @@ class NeuralAudioTokenizer:
         out = forward(params, sem_rvq, acc_rvq, dev, rng)
         return out, metas
 
+    @staticmethod
+    def row_losses(losses: Dict, row: int) -> Dict[str, float]:
+        """Slice one batch row's losses to floats.  Forward losses are
+        per-ROW ``[B]`` vectors (batched spans are independent; a batch
+        mean would mix spans and count zero-padding rows); scalars (e.g.
+        compat paths) broadcast to every row."""
+        out = {}
+        for k, v in losses.items():
+            a = np.asarray(v).reshape(-1)
+            out[k] = float(a[row] if a.size > 1 else a[0])
+        return out
+
     def finalize_span_group(self, out: Dict, metas: List["SpanMeta"],
                             want_features: bool = True):
         """Fetch one group's stacked outputs (single device→host transfer
@@ -944,14 +958,14 @@ class NeuralAudioTokenizer:
                                   "losses": out["losses"]})
         fetched.setdefault("semantic_features", None)
         fetched.setdefault("acoustic_features", None)
-        losses = {k: float(v) for k, v in fetched.pop("losses").items()}
+        losses = fetched.pop("losses")
         for g, meta in enumerate(metas):
             row = {
                 "semantic_codes": fetched["semantic_codes"][:, g:g + 1],
                 "acoustic_codes": fetched["acoustic_codes"][:, g:g + 1],
                 "reconstructed": (None if fetched["reconstructed"] is None
                                   else fetched["reconstructed"][g:g + 1]),
-                "losses": losses,
+                "losses": self.row_losses(losses, g),
                 "semantic_features": (
                     None if fetched["semantic_features"] is None
                     else fetched["semantic_features"][g:g + 1]),
@@ -1018,7 +1032,7 @@ class NeuralAudioTokenizer:
             "semantic_codes": sem,
             "acoustic_codes": acc,
             "reconstructed": reconstructed,
-            "losses": {k: float(v) for k, v in out["losses"].items()},
+            "losses": self.row_losses(out["losses"], 0),
             "semantic_features": _feat("semantic_features"),
             "acoustic_features": _feat("acoustic_features"),
         }

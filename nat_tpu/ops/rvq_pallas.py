@@ -183,6 +183,7 @@ def rvq_encode_pallas(
     temperature: float = None,
     seed=None,
     interpret: bool = False,
+    per_row: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Fused RVQ encode: ``[B, T, D]`` → (codes [N, B, T],
     quantized [B, T, D], losses).  ``temperature=None`` → deterministic
@@ -194,7 +195,9 @@ def rvq_encode_pallas(
     (:func:`nat_tpu.quant.rvq.rvq_encode`): per-layer mean squared
     quantization error reduced from the kernel's per-frame ‖r − q‖²
     outputs — both backends report numerically consistent losses for the
-    same codes (argmin-mode parity is test-asserted)."""
+    same codes (argmin-mode parity is test-asserted).  ``per_row=True``
+    returns each loss as a ``[B]`` vector (see ``rvq_encode``) so batched
+    independent spans get their own values instead of a batch mean."""
     b, t, d = x.shape
     if state.codebook_size % CHUNK_K != 0:
         # Small/odd codebooks don't tile onto the kernel's K-chunking;
@@ -204,7 +207,8 @@ def rvq_encode_pallas(
         return rvq_encode(
             state, x, temperature=(temperature or 0.5),
             stochastic=temperature is not None,
-            rng=jax.random.PRNGKey(seed if seed is not None else 0))
+            rng=jax.random.PRNGKey(seed if seed is not None else 0),
+            per_row=per_row)
     m = b * t
     m_pad = -(-m // TILE_M) * TILE_M
     flat = x.reshape(m, d)
@@ -218,10 +222,11 @@ def rvq_encode_pallas(
                                          temperature=temperature,
                                          interpret=interpret)
     n = state.num_layers
-    # Same reduction as rvq.rvq_encode's losses (mean over all M*D
+    # Same reduction as rvq.rvq_encode's losses (per-row mean over T*D
     # elements per layer; commitment and codebook coincide at inference).
-    per_layer = errs[:, :m].sum(axis=1) / (m * d)           # [N]
-    mean_layer = per_layer.mean()
+    layer_rows = errs[:, :m].reshape(n, b, t).sum(axis=2) / (t * d)  # [N, B]
+    mean_rows = layer_rows.mean(axis=0)                              # [B]
+    mean_layer = mean_rows if per_row else mean_rows.mean()
     losses = {
         "commitment_loss": mean_layer,
         "codebook_loss": mean_layer,

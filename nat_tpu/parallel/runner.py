@@ -135,7 +135,7 @@ class DataParallelRunner:
             if want_features:
                 sem_f = np.asarray(out["semantic_features"])  # [B, D, Tt]
                 acc_f = np.asarray(out["acoustic_features"])
-            losses = {k: float(v) for k, v in out["losses"].items()}
+            losses = out["losses"]
             for row, j in enumerate(members):
                 meta = items[j][3]
                 span_results[j] = tok.finalize_span({
@@ -143,7 +143,9 @@ class DataParallelRunner:
                     "acoustic_codes": acc[:, row:row + 1],
                     "reconstructed": (recon[row:row + 1]
                                       if recon is not None else None),
-                    "losses": losses,
+                    # Per-ROW loss slice: forward losses are [B] vectors
+                    # (zero pad rows would skew a batch mean).
+                    "losses": tok.row_losses(losses, row),
                     "semantic_features": (sem_f[row:row + 1]
                                           if want_features else None),
                     "acoustic_features": (acc_f[row:row + 1]

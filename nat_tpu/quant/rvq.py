@@ -95,18 +95,26 @@ def _select_codes(dist: jnp.ndarray, temperature: float,
     return jnp.argmin(dist, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("stochastic",))
+@functools.partial(jax.jit, static_argnames=("stochastic", "per_row"))
 def rvq_encode(
     state: RVQState,
     x: jnp.ndarray,                 # [B, T, D]
     temperature: float = 0.5,
     stochastic: bool = False,
     rng: Optional[jax.Array] = None,
+    per_row: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Quantize features through the residual chain.
 
     Returns ``(codes [N, B, T], quantized [B, T, D], losses)``.  ``quantized``
     carries the straight-through estimator so gradients flow to ``x``.
+
+    ``per_row=True`` returns each loss as a ``[B]`` vector (mean over that
+    row's ``T*D`` elements) instead of a batch-mean scalar — required when
+    rows are independent spans batched together (span-group dispatch):
+    a batch-mean would mix spans and count zero-padding rows.  The default
+    scalar equals ``per_row`` values' mean (rows have equal element counts),
+    and is what training objectives consume.
     """
     b, t, d = x.shape
     flat = x.reshape(b * t, d)
@@ -121,23 +129,29 @@ def rvq_encode(
         codes_n = _select_codes(dist, temperature, stochastic,
                                 rng_n if stochastic else None)
         quantized_n = codebook_n[codes_n]                    # [M, D]
-        # Per-layer VQ losses — mean over ALL elements, matching the
+        # Per-layer VQ losses — per-row mean over T*D elements, matching the
         # reference's F.mse_loss scale (2162-2167) so the 0.25 commitment
         # weight mixes correctly with per-element-mean recon losses.
         commit = jnp.mean(
-            (residual - jax.lax.stop_gradient(quantized_n)) ** 2)
+            ((residual - jax.lax.stop_gradient(quantized_n)) ** 2
+             ).reshape(b, t * d), axis=1)                    # [B]
         codebook_loss = jnp.mean(
-            (jax.lax.stop_gradient(residual) - quantized_n) ** 2)
+            ((jax.lax.stop_gradient(residual) - quantized_n) ** 2
+             ).reshape(b, t * d), axis=1)                    # [B]
         new_residual = residual - jax.lax.stop_gradient(quantized_n)
         return ((new_residual, quant_sum + quantized_n,
                  commit_acc + commit, codebook_acc + codebook_loss), codes_n)
 
-    init = (flat, jnp.zeros_like(flat), jnp.float32(0.0), jnp.float32(0.0))
+    init = (flat, jnp.zeros_like(flat),
+            jnp.zeros((b,), jnp.float32), jnp.zeros((b,), jnp.float32))
     (residual, quant_sum, commit, codebook_loss), codes = jax.lax.scan(
         layer_step, init, (state.codebook, layer_rngs))
 
     # Straight-through: forward value is the quantized sum, gradient is id.
     quantized = flat + jax.lax.stop_gradient(quant_sum - flat)
+    if not per_row:
+        commit = jnp.mean(commit)
+        codebook_loss = jnp.mean(codebook_loss)
     losses = {
         "commitment_loss": commit / n,
         "codebook_loss": codebook_loss / n,

@@ -361,7 +361,20 @@ class TokenServer:
                                     socket.TCP_NODELAY, 1)
                 except OSError:
                     pass
-            self._slots.acquire()
+            # Timed acquire: with every slot busy, a bare acquire() would
+            # park this thread holding the accepted socket — SIGTERM's
+            # stop_accepting() could then never end serve_forever (shutdown
+            # hang), and the eventually-freed slot would serve NEW work
+            # accepted before (or despite) the shutdown request.
+            while not self._closed.is_set():
+                if self._slots.acquire(timeout=0.25):
+                    break
+            if self._closed.is_set():
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+                break
             self._conn_seq += 1
             with self._active_cv:
                 self._active += 1
@@ -451,8 +464,8 @@ class TokenServer:
     def _serve_stream(self, rfile, write, cid: int) -> None:
         """One connection = one stdin-daemon session: sniff, then stream
         incrementally or fall back to buffered tokenization."""
-        from ..cli import _PrefixedStream
-        from ..io.stream_reader import make_stream_reader, read_sniff
+        from ..io.stream_reader import (PrefixedStream, make_stream_reader,
+                                        read_sniff)
 
         # First-available-block sniff (not a greedy 64 KB read): a live
         # client's first frames shouldn't wait on buffer-filling.
@@ -464,7 +477,7 @@ class TokenServer:
         session.span_executor = self._batcher
         if (make_stream_reader(head.lstrip(b"\x1c")) is not None
                 and hasattr(session.tokenizer, "tokenize_span")):
-            session.stream_stdin(_PrefixedStream(head, rfile), write)
+            session.stream_stdin(PrefixedStream(head, rfile), write)
             return
         logger.debug(f"conn#{cid}: not incrementally decodable; buffering")
         self._serve_buffered(session, head + rfile.read(), write)

@@ -33,15 +33,17 @@ class TokenStream:
 
 def parse_ndjson_stream(text: str) -> TokenStream:
     """Parse one complete NDJSON stream into dense token matrices."""
+    return parse_events([json.loads(line) for line in text.splitlines()
+                         if line.strip()])
+
+
+def parse_events(events: List[Dict]) -> TokenStream:
+    """Build a :class:`TokenStream` from already-parsed event dicts (one
+    complete stream).  Consumers holding parsed events (TokenClient's
+    socket reader) skip the serialize-and-reparse round trip."""
     header: Optional[Dict] = None
     end_stats: Optional[Dict] = None
-    events: List[Dict] = []
-    for line in text.splitlines():
-        line = line.strip()
-        if not line:
-            continue
-        obj = json.loads(line)
-        events.append(obj)
+    for obj in events:
         if obj.get("event") == "header":
             header = obj
         elif obj.get("event") == "end":

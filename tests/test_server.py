@@ -574,6 +574,39 @@ class TestTokenServer:
         finally:
             srv.close()
 
+    def test_shutdown_while_slots_saturated(self, pipeline, tmp_path):
+        """SIGTERM shutdown must end the accept loop even when every
+        connection slot is busy and a newly accepted connection is parked
+        waiting for a slot (a bare Semaphore.acquire would hang
+        serve_forever until a slot freed, then serve post-shutdown work)."""
+        import time
+
+        from nat_tpu.runtime.server import TokenServer
+
+        sock = str(tmp_path / "sat.sock")
+        srv = TokenServer(pipeline, f"unix:{sock}", max_connections=1)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        # Occupy the single slot with a stalled producer (no bytes sent:
+        # its handler blocks in the container sniff).
+        c1 = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c1.connect(sock)
+        for _ in range(100):
+            if srv._active >= 1:
+                break
+            time.sleep(0.05)
+        assert srv._active == 1
+        # Second connection: accepted, then parked in the slot wait.
+        c2 = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c2.connect(sock)
+        time.sleep(0.4)
+        srv.stop_accepting()
+        t.join(timeout=5)
+        assert not t.is_alive()
+        c1.close()
+        c2.close()
+        srv.close()
+
     def test_token_client_healthcheck_down(self, tmp_path):
         from nat_tpu.client import healthcheck
 

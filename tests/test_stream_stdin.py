@@ -620,6 +620,37 @@ class TestStreamingCodecReader:
             r.finish()
 
 
+    def test_fs_plus_container_inside_stream_warns(self, capsys):
+        """FS multiplexing cannot split compressed bitstreams (any byte may
+        appear in them), so `song.mp3 <FS> next.wav` silently absorbs
+        next.wav into the mp3 buffer — the reader must at least WARN when
+        it sees an FS byte followed by a recognizable container header,
+        including across feed boundaries."""
+        from nat_tpu.io.stream_reader import StreamingCodecReader
+        from nat_tpu.utils.logging import logger
+
+        wav_head = b"RIFF" + bytes(4) + b"WAVE" + bytes(20)
+        saved = (logger.level, logger.default_mode)
+        logger.set_default_mode(False)
+        try:
+            r = StreamingCodecReader()
+            r.feed(b"\xff\xfb\x90\x00" + bytes(100))
+            assert capsys.readouterr().err == ""      # no FS yet
+            r.feed(b"\x1c" + wav_head)
+            assert "FS separator" in capsys.readouterr().err
+
+            r2 = StreamingCodecReader()               # split across feeds
+            r2.feed(bytes(50) + b"\x1c" + wav_head[:5])
+            r2.feed(wav_head[5:])
+            assert "FS separator" in capsys.readouterr().err
+
+            r3 = StreamingCodecReader()               # FS alone: no warning
+            r3.feed(bytes(50) + b"\x1c" + bytes(50))
+            assert capsys.readouterr().err == ""
+        finally:
+            logger.level, logger.default_mode = saved
+
+
 class TestMakeStreamReader:
     def test_pcm_ff_sync_byte_not_claimed(self):
         """Raw-PCM bytes whose first sample contains an MP3-ish sync

@@ -199,6 +199,38 @@ def test_want_features_false_skips_fetch_keeps_tokens(monkeypatch):
     assert with_f["losses"] == without_f["losses"]
 
 
+def test_span_group_losses_are_per_span(monkeypatch):
+    """Grouped dispatch must report each span's OWN losses, equal to what
+    sequential dispatch reports for that span: forward losses are per-row
+    vectors, so a group's batch mean can neither mix spans nor count the
+    zero-padding rows (here a 3-span run pads to 4 — one garbage row)."""
+    from nat_tpu.models.tokenizer import NeuralAudioTokenizer
+
+    sr = 4000
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal(int(sr * 120)).astype(np.float32) * 0.3
+
+    def run(group: str):
+        monkeypatch.setenv("NAT_TPU_STREAM_GROUP", group)
+        tok = NeuralAudioTokenizer(
+            sample_rate=sr, codebook_size=64, semantic_dim=32,
+            acoustic_dim=32, n_mels=16, enable_codebook_cache=False,
+            use_pretrained_semantic=False, codebook_init_method="random",
+            enable_reconstruction=False)
+        return [out["losses"] for out in tok.iter_chunks(x[None, :])]
+
+    seq, grp = run("1"), run("4")   # spans [s0],[s1,s2,s3→pad 4],[s4]
+    assert len(seq) == len(grp) == 5
+    for ls, lg in zip(seq, grp):
+        assert ls.keys() == lg.keys()
+        for k in ls:
+            assert ls[k] == pytest.approx(lg[k], rel=1e-5), k
+    # Spans hold different audio → different losses (a batch mean would
+    # make the grouped spans' values identical).
+    grouped_totals = [l["total_vq_loss"] for l in grp[1:4]]
+    assert len(set(grouped_totals)) == 3
+
+
 def test_tokenize_many_sequential_path_honors_want_features(tmp_path):
     """The dp runner threads want_features; the sequential path (single
     file, or dp-fallback) must too — re-fetching feature maps the caller
