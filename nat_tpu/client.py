@@ -111,6 +111,11 @@ class TokenClient:
         """Tokenize one or more audio payloads (bytes, or str paths) in a
         single connection (FS-multiplexed) and return one parsed
         :class:`TokenStream` per file."""
+        if len(sources) == 1 and isinstance(sources[0], (list, tuple)):
+            # tokenize(["a.wav", "b.wav"]) is a natural spelling of the
+            # varargs API; without this, bytes(list) raises a baffling
+            # "'str' object cannot be interpreted as an integer".
+            sources = tuple(sources[0])
         if not sources:
             raise ValueError("no sources given")
         payloads = []

@@ -533,6 +533,11 @@ class TestTokenServer:
         solo = client.tokenize(a)[0]
         np.testing.assert_array_equal(solo.semantic, streams[0].semantic)
         np.testing.assert_array_equal(solo.acoustic, streams[0].acoustic)
+        # A single list argument is accepted as the varargs spelling
+        listed = client.tokenize([a, b])
+        assert len(listed) == 2
+        np.testing.assert_array_equal(listed[0].semantic, streams[0].semantic)
+        np.testing.assert_array_equal(listed[1].acoustic, streams[1].acoustic)
 
     def test_token_client_rejected_payload_raises(self, pipeline, server):
         """A payload the daemon rejects (corrupt container: the AU reader
