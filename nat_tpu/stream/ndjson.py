@@ -12,13 +12,54 @@ and the per-frame loop is driven by vectorized change detection in
 from __future__ import annotations
 
 import json
+import math
 from typing import Dict, List, Optional
 
 from ..version import FORMAT_VERSION, SCHEMA_NAME, VERSION
 
 
-def _dumps(obj: dict) -> str:
+def _dumps_json(obj: dict) -> str:
     return json.dumps(obj, separators=(",", ":"))
+
+
+def _dumps(obj: dict) -> str:
+    """Serialize one event dict, byte-identical to ``json.dumps`` with
+    compact separators.
+
+    Frame/tokens events are flat dicts of int/float/bool/list-of-int — the
+    per-frame ``json.dumps`` dict walk is a top host cost on RLE streams
+    (~40% of serialization time), so those are assembled directly;
+    anything else (header/end with nested metadata/stats, aux payloads,
+    non-finite floats) falls back to the real encoder.  CPython's json
+    emits finite floats via ``float.__repr__`` and ints via ``str``, so
+    the fast path's output is identical by construction
+    (tests/test_stream.py asserts canonical formatting)."""
+    parts = []
+    for k, v in obj.items():
+        t = type(v)
+        if t is int:
+            s = str(v)
+        elif t is float:
+            if not math.isfinite(v):          # json spells these Infinity/NaN
+                return _dumps_json(obj)
+            s = repr(v)
+        elif t is bool:
+            s = "true" if v else "false"
+        elif t is list:
+            if any(type(i) is not int for i in v):
+                return _dumps_json(obj)
+            s = f"[{','.join(map(str, v))}]"
+        elif t is str:
+            # json escapes only ", \, control chars, and (ensure_ascii)
+            # non-ASCII; plain ASCII printables pass through verbatim.
+            if ('"' in v or "\\" in v or not v.isascii()
+                    or not v.isprintable()):
+                return _dumps_json(obj)
+            s = f'"{v}"'
+        else:                                  # dicts nest; None, ...
+            return _dumps_json(obj)
+        parts.append(f'"{k}":{s}')
+    return f"{{{','.join(parts)}}}"
 
 
 class NDJSONStreamer:
@@ -56,14 +97,37 @@ class NDJSONStreamer:
         # RLE aggregation state
         self.buffered_event: Optional[dict] = None
         self.last_frame_index = -1
+        # frame_duration_ms is fixed per stream; "dur" starts from this
+        # rounded constant on every event (floats are immutable, so the
+        # shared value is safe even though buffered runs += onto "dur").
+        self._dur_rounded = round(self.frame_duration_ms, 3)
+
+        # Precomputed per-layer encoding tables: layer_encoding/uses_rle
+        # are called per layer per frame on the RLE hot path (~320k calls
+        # for a 10-minute stream); resolve them once.
+        self._rle_set = frozenset(
+            name for name in
+            [f"S{i}" for i in range(num_semantic_layers)]
+            + [f"A{i}" for i in range(num_acoustic_layers)]
+            if self._layer_encoding_uncached(name) == "rle")
+        self._dense_s_idx = [i for i in range(num_semantic_layers)
+                             if f"S{i}" not in self._rle_set]
+        self._dense_a_idx = [i for i in range(num_acoustic_layers)
+                             if f"A{i}" not in self._rle_set]
 
     # -- layer encodings ----------------------------------------------------
-    def layer_encoding(self, layer_name: str) -> str:
+    def _layer_encoding_uncached(self, layer_name: str) -> str:
         default = "rle" if (self.rle_mode and layer_name.startswith("S")) else "dense"
         return self.per_layer_encoding.get(layer_name, default)
 
+    def layer_encoding(self, layer_name: str) -> str:
+        if layer_name in self._rle_set:
+            return "rle"
+        return self._layer_encoding_uncached(layer_name)
+
     def uses_rle(self, layer_name: str) -> bool:
-        return self.layer_encoding(layer_name) == "rle"
+        return (layer_name in self._rle_set
+                or self._layer_encoding_uncached(layer_name) == "rle")
 
     # -- events --------------------------------------------------------------
     def create_header(
@@ -158,7 +222,7 @@ class NDJSONStreamer:
                 "event": "frame",
                 "fi": frame_index,
                 "ts": round(time_ms, 3),
-                "dur": round(self.frame_duration_ms, 3),
+                "dur": self._dur_rounded,
                 "S": sem,
                 "A": acc,
             }
@@ -187,16 +251,20 @@ class NDJSONStreamer:
             "event": "tokens",
             "fi": frame_index,
             "ts": round(time_ms, 3),
-            "dur": round(self.frame_duration_ms, 3),
+            "dur": self._dur_rounded,
         }
+        rle_set = self._rle_set
         for name in changed_layers:
+            if name not in rle_set:
+                continue
             idx = int(name[1:])
-            if name.startswith("S") and idx < len(sem) and self.uses_rle(name):
-                event[name] = sem[idx]
-            elif name.startswith("A") and idx < len(acc) and self.uses_rle(name):
+            if name[0] == "S":
+                if idx < len(sem):
+                    event[name] = sem[idx]
+            elif idx < len(acc):
                 event[name] = acc[idx]
-        dense_s = [t for i, t in enumerate(sem) if not self.uses_rle(f"S{i}")]
-        dense_a = [t for i, t in enumerate(acc) if not self.uses_rle(f"A{i}")]
+        dense_s = [sem[i] for i in self._dense_s_idx if i < len(sem)]
+        dense_a = [acc[i] for i in self._dense_a_idx if i < len(acc)]
         if dense_s:
             event["S_dense"] = dense_s
         if dense_a:

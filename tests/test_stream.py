@@ -149,6 +149,40 @@ class TestNDJSONStreamer:
         s = NDJSONStreamer(22050, 512)
         assert "legend" not in json.loads(s.create_header(include_legend=False))
 
+    def test_fast_dumps_byte_identical_to_json(self):
+        from nat_tpu.stream.ndjson import _dumps
+
+        cases = [
+            {"event": "frame", "t": 0, "ts": 0.0, "dur": 23.22},
+            {"i": -7, "j": 0, "k": 2**63, "f": 0.1, "g": -1e-9,
+             "h": 1e300, "w": 2.0, "z": -0.0},
+            {"b1": True, "b0": False, "s": "hello", "e": ""},
+            {"L": [1, 2, 3], "E": [], "N": [-1, 0, 10**12]},
+            # fallback cases: must still match json.dumps exactly
+            {"inf": float("inf")},
+            {"ninf": float("-inf")},
+            {"nan": float("nan")},
+            {"mixed": [1, 2.5]},
+            {"lbool": [True, 1]},
+            {"quote": 'say "hi"', "back": "a\\b", "ctl": "a\nb",
+             "tab": "a\tb"},
+            {"uni": "café"},
+            {"none": None},
+            {"nest": {"a": 1}},
+            {"stats": {"frames": 10, "sha": "ab" * 32}},
+        ]
+        for obj in cases:
+            assert _dumps(obj) == json.dumps(obj, separators=(",", ":")), obj
+
+    def test_layer_encoding_cache_respects_overrides(self):
+        s = NDJSONStreamer(22050, 512, num_semantic_layers=2,
+                           num_acoustic_layers=2, rle_mode=True,
+                           per_layer_encoding={"S0": "dense", "A1": "rle"})
+        assert s.layer_encoding("S0") == "dense" and not s.uses_rle("S0")
+        assert s.layer_encoding("S1") == "rle" and s.uses_rle("S1")
+        assert s.layer_encoding("A0") == "dense" and not s.uses_rle("A0")
+        assert s.layer_encoding("A1") == "rle" and s.uses_rle("A1")
+
     def test_end_marker_flushes_buffer(self):
         s = NDJSONStreamer(22050, 512, rle_mode=True)
         out = s.create_frame(0, 0.0, [1, 1, 1, 1], [2, 2, 2, 2],
