@@ -65,6 +65,18 @@ def parse_events(events: List[Dict]) -> TokenStream:
             # `dur` may cover several frames under RLE aggregation.
             span = max(int(round(obj.get("dur", frame_dur) / frame_dur)), 1)
             max_frame = max(max_frame, fi + span - 1)
+    # RLE streams drop trailing/inter-keyframe no-change frames from the
+    # wire entirely (reference behavior, neural_audio_tokenizer.py:
+    # 2829-2836: "extend buffered event duration IF EXISTS").  Their token
+    # values are recoverable by forward-fill (a frame is only dropped when
+    # every layer is unchanged), and the true frame count is recoverable
+    # from the end.stats token totals both producers emit.
+    if end_stats:
+        for key, names in (("semantic_tokens", sem_names),
+                           ("acoustic_tokens", acc_names)):
+            total = end_stats.get(key)
+            if total and names:
+                max_frame = max(max_frame, int(total) // len(names) - 1)
     num_frames = max_frame + 1
     if num_frames <= 0:
         return TokenStream(header, np.zeros((len(sem_names), 0), dtype=np.int64),
