@@ -52,15 +52,25 @@ def stop_trace() -> None:
 
 @contextlib.contextmanager
 def annotate(name: str) -> Iterator[None]:
-    """Named trace region (shows up in the TPU timeline) + wall timer."""
+    """Named trace region (shows up in the TPU timeline) + wall timer.
+
+    Emits a ``jax.profiler`` annotation only when jax is already loaded
+    (neural path) — the compat path must stay jax-import-free end to end:
+    on accelerator-plugin hosts even ``import jax`` can block on a remote
+    backend handshake, and compat mode is the degradation lane that must
+    work when the accelerator is unreachable (reference compat mode runs
+    anywhere, neural_audio_tokenizer.py:4598-4604).
+    """
+    import sys
+
     start = time.perf_counter()
     try:
-        import jax
-
-        with jax.profiler.TraceAnnotation(name):
+        jax = sys.modules.get("jax")
+        if jax is not None:
+            with jax.profiler.TraceAnnotation(name):
+                yield
+        else:
             yield
-    except ImportError:
-        yield
     finally:
         stage_timings[name] = stage_timings.get(name, 0.0) + (
             time.perf_counter() - start)
