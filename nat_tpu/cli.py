@@ -193,6 +193,12 @@ Examples:
     parser.add_argument("--model-path", help="Path to pre-trained model weights")
     parser.add_argument("--config", help="Model configuration JSON file")
     parser.add_argument(
+        "--prewarm", nargs="?", const="30", metavar="SECONDS",
+        help="Compile + cache the forward programs up front (the 30 s "
+             "streaming bucket at batch rows [1] and [group]) and exit, so "
+             "no later run pays a cold compile. Optional comma-separated "
+             "durations select other buckets, e.g. --prewarm 1,4,30")
+    parser.add_argument(
         "--fetch", nargs="?", const="default", metavar="MODELS",
         help="Download pretrained checkpoints (sha256-verified) into the "
              "local HF cache and exit. Default set: wav2vec2-base, "
@@ -357,6 +363,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
 
     # Cheap flag validation BEFORE the (expensive) pipeline construction.
+    if args.prewarm is not None:
+        if (args.input_files or args.stdin or args.stream_stdin
+                or args.batch or args.decode_tokens or args.serve):
+            parser.error("--prewarm is a standalone maintenance mode "
+                         "(no inputs or other modes)")
+        if args.compat_fallback:
+            parser.error("--prewarm needs the neural path "
+                         "(drop --compat-fallback)")
+        try:
+            prewarm_seconds = [float(s) for s in args.prewarm.split(",") if s]
+        except ValueError:
+            parser.error(f"--prewarm expects comma-separated seconds, got "
+                         f"{args.prewarm!r}")
+        if not prewarm_seconds:
+            parser.error("--prewarm needs at least one duration")
     if args.decode_tokens and args.no_reconstruction:
         parser.error("--decode-tokens requires the reconstruction decoder "
                      "(drop --no-reconstruction)")
@@ -434,6 +455,23 @@ def main(argv: Optional[List[str]] = None) -> int:
         temperature=args.temperature,
         compute_dtype=args.compute_dtype,
     )
+
+    if args.prewarm is not None:
+        # Maintenance mode: progress must be visible regardless of
+        # default-mode detection (same rationale as --fetch).
+        set_default_mode(False)
+        if log_level == LogLevel.WARN:
+            set_log_level(LogLevel.INFO)
+        if pipeline.compat_mode:
+            logger.error("Neural path unavailable; nothing to prewarm")
+            return 1
+        from .runtime.prewarm import prewarm_forwards
+
+        done = prewarm_forwards(pipeline.tokenizer, pipeline.sample_rate,
+                                seconds=prewarm_seconds)
+        logger.info(f"Prewarm complete: {len(done)} forward program(s) "
+                    "compiled/cached")
+        return 0
 
     if args.decode_tokens:
         return run_decode_tokens(args, pipeline, parser)

@@ -79,21 +79,46 @@ class _AotForwardDispatch:
         self.jitted = jitted
         self.config = config
         self._compiled: Dict[tuple, Any] = {}
+        self._seen_shapes: set = set()
+
+    def _shape_desc(self, wave) -> str:
+        bucket = self.config.get("bucket")
+        what = self.config.get("program", "forward")
+        where = f"{what} program (bucket={bucket}, rows={wave.shape[0]})" \
+            if bucket else f"{what} program {tuple(wave.shape)}"
+        return f"preparing {where}"
 
     def __call__(self, params, sem_rvq, acc_rvq, wave, rng):
         from ..runtime import aotcache
+        from ..utils.heartbeat import heartbeat
 
-        if not aotcache.cache_enabled():
-            return self.jitted(params, sem_rvq, acc_rvq, wave, rng)
         # Key on both data args: the forward varies in wave shape, the
         # decode program in both token-matrix shapes.
         shape = (tuple(wave.shape), tuple(getattr(rng, "shape", ())))
+        first = shape not in self._seen_shapes
+        self._seen_shapes.add(shape)
+        if not aotcache.cache_enabled():
+            if not first:
+                return self.jitted(params, sem_rvq, acc_rvq, wave, rng)
+            # First dispatch of this shape = trace + XLA compile inside the
+            # call: minutes of silence on a cold accelerator without the
+            # verbose heartbeat.
+            with heartbeat(self._shape_desc(wave), announce=(
+                    self._shape_desc(wave) + " — first run compiles "
+                    "(can take minutes); subsequent runs reuse it "
+                    "(tip: `nat --prewarm` pays this cost up front)")):
+                return self.jitted(params, sem_rvq, acc_rvq, wave, rng)
         exe = self._compiled.get(shape)
         if exe is None:
             try:
-                exe = aotcache.load_or_compile(
-                    self.jitted, self.config,
-                    (params, sem_rvq, acc_rvq, wave, rng))
+                with heartbeat(self._shape_desc(wave), announce=(
+                        self._shape_desc(wave) + " — loading the cached "
+                        "executable, or compiling on a cold cache (minutes; "
+                        "cached for subsequent runs — `nat --prewarm` pays "
+                        "this up front)")):
+                    exe = aotcache.load_or_compile(
+                        self.jitted, self.config,
+                        (params, sem_rvq, acc_rvq, wave, rng))
             except Exception as exc:
                 from ..utils.logging import logger
 
@@ -215,6 +240,7 @@ class NeuralAudioTokenizer:
         self._needs_audio_seeding = False
         self._rng = jax.random.PRNGKey(seed)
         self._device_lock = threading.RLock()
+        self._first_fetch_done = False
 
     # ------------------------------------------------------------------
     # Initialization phase
@@ -284,11 +310,14 @@ class NeuralAudioTokenizer:
                 elif predicted_w2v2:
                     logger.warn("Semantic encoder: wav2vec2 architecture "
                                 "with random-init weights (no checkpoint "
-                                "available)")
+                                "available — run `nat --fetch` once on a "
+                                "networked machine to install it)")
                 elif (self.semantic_arch == "auto"
                       and self.use_pretrained_semantic):
                     logger.warn("wav2vec2 checkpoint unavailable; using "
-                                "spectral fallback semantic encoder")
+                                "spectral fallback semantic encoder (run "
+                                "`nat --fetch` once on a networked machine "
+                                "for real semantic tokens)")
                 # device_put: cached params are host numpy; left as-is,
                 # EVERY jitted forward would re-upload the full pytree
                 # (~430 MB for wav2vec2-base — measured 9 s/call through
@@ -327,12 +356,16 @@ class NeuralAudioTokenizer:
                 logger.info("Semantic encoder: pretrained wav2vec2-base weights")
             else:
                 logger.warn("Semantic encoder: wav2vec2 architecture with "
-                            "random-init weights (no checkpoint available)")
+                            "random-init weights (no checkpoint available — "
+                            "run `nat --fetch` once on a networked machine "
+                            "to install it)")
             params["semantic_encoder"] = init_params
         else:
             if self.semantic_arch == "auto" and self.use_pretrained_semantic:
                 logger.warn("wav2vec2 checkpoint unavailable; using spectral "
-                            "fallback semantic encoder")
+                            "fallback semantic encoder (run `nat --fetch` "
+                            "once on a networked machine for real semantic "
+                            "tokens)")
             params["semantic_encoder"] = jax.jit(self.semantic_encoder.init)(
                 r_fb, dummy16)["params"]
 
@@ -929,6 +962,23 @@ class NeuralAudioTokenizer:
         out = forward(params, sem_rvq, acc_rvq, dev, rng)
         return out, metas
 
+    def _device_get(self, tree):
+        """``jax.device_get`` with a verbose-mode heartbeat on the FIRST
+        fetch: on tunneled backends the first host↔device round trip of a
+        process can take minutes (handshake + remote compile completion),
+        and it blocks here — not in the async dispatch."""
+        if self._first_fetch_done:
+            return jax.device_get(tree)
+        from ..utils.heartbeat import heartbeat
+
+        with heartbeat(
+                "waiting for first device results", announce=(
+                    "waiting for first device results (a cold backend "
+                    "handshake can take minutes; later fetches are fast)")):
+            fetched = jax.device_get(tree)
+        self._first_fetch_done = True
+        return fetched
+
     @staticmethod
     def row_losses(losses: Dict, row: int) -> Dict[str, float]:
         """Slice one batch row's losses to floats.  Forward losses are
@@ -954,8 +1004,8 @@ class NeuralAudioTokenizer:
         # One device_get over the whole group: async host copies start for
         # every leaf before the first blocking read, so the tunnel's
         # per-transfer latency is paid once, not once per key.
-        fetched = jax.device_get({**{k: out.get(k) for k in keys},
-                                  "losses": out["losses"]})
+        fetched = self._device_get({**{k: out.get(k) for k in keys},
+                                    "losses": out["losses"]})
         fetched.setdefault("semantic_features", None)
         fetched.setdefault("acoustic_features", None)
         losses = fetched.pop("losses")
@@ -1002,7 +1052,7 @@ class NeuralAudioTokenizer:
         # already numpy and pass through untouched.
         feat_keys = (("semantic_features", "acoustic_features")
                      if want_features else ())
-        out = dict(out, **jax.device_get(
+        out = dict(out, **self._device_get(
             {k: out.get(k)
              for k in ("semantic_codes", "acoustic_codes", "reconstructed",
                        "losses", *feat_keys)}))

@@ -19,9 +19,12 @@ per-stream serialization state lives in a per-connection
 ``pipeline.session()`` clone.
 
 Incremental formats (WAV/AIFF/AU/FLAC, and MP3/OGG via the codec shim)
-stream; anything else falls back to buffered whole-payload tokenization
-(same ladder as the CLI's ``--stream-stdin`` fallback, down to raw-PCM
-reinterpretation) under a coarse lock.
+stream; anything else decodes whole-payload (same ladder as the CLI's
+``--stream-stdin`` fallback, down to raw-PCM reinterpretation) and then
+feeds the SAME span/batch machinery — N buffered-format clients
+interleave span-by-span and co-batch through the SpanBatcher just like
+streaming clients (only compat-mode serving keeps a coarse whole-file
+lock; its tokenizer has no span interface).
 
 No counterpart in the reference (serving is new TPU-framework scope);
 the wire protocol matches reference stdin semantics
@@ -55,12 +58,26 @@ class SpanBatcher:
     window: a lone request dispatches immediately (no added latency), and
     batching happens exactly when there is genuine concurrency or backlog.
 
+    Dispatch and fetch are PIPELINED across two threads: the worker only
+    enqueues device forwards (async under JAX), then hands the raw output
+    to a finalizer thread that performs the blocking device→host fetch and
+    resolves futures.  Batch k+1 is therefore already running on the
+    device while batch k's results cross the wire — without this the
+    device idles one full fetch round trip per batch, which capped
+    round-3 serving aggregate below the single-stream number.  In-flight
+    depth is bounded (``_MAX_INFLIGHT``) so a fast drain can't enqueue
+    unbounded device work.
+
     Requires argmin (non-stochastic) quantization — grouping reassigns the
     per-span RNG stream, which argmin ignores.
     """
 
+    _MAX_INFLIGHT = 3
+
     def __init__(self, tokenizer, max_group: Optional[int] = None,
                  autostart: bool = True, mesh=None) -> None:
+        import queue as _queue
+
         self.tok = tokenizer
         self.mesh = mesh
         if max_group is None:
@@ -75,11 +92,18 @@ class SpanBatcher:
         self._queue: list = []  # (key, prepared, meta, divisor, want_f, fut)
         self._closed = False
         self.stats = {"spans": 0, "dispatches": 0}
+        self._inflight: "_queue.Queue" = _queue.Queue(
+            maxsize=self._MAX_INFLIGHT)
         self._worker: Optional[threading.Thread] = None
+        self._finalizer: Optional[threading.Thread] = None
         if autostart:
             self._worker = threading.Thread(
                 target=self._run, name="nat-span-batcher", daemon=True)
             self._worker.start()
+            self._finalizer = threading.Thread(
+                target=self._run_finalizer, name="nat-span-finalizer",
+                daemon=True)
+            self._finalizer.start()
 
     # -- session-facing API (signature-compatible with tokenize_span) -----
     def submit_span(self, chunk, ext_start, start, length, overlap, sr,
@@ -111,6 +135,8 @@ class SpanBatcher:
             self._cv.notify_all()
         if self._worker is not None:
             self._worker.join(timeout=30)
+        if self._finalizer is not None:
+            self._finalizer.join(timeout=30)
 
     def _mesh_args(self):
         """Mesh-replicated model state (one device_put per server lifetime):
@@ -129,19 +155,15 @@ class SpanBatcher:
                           self.tok.acc_rvq))
         return self._mesh_state
 
-    # -- worker ------------------------------------------------------------
-    def _run(self) -> None:
-        while self._drain_once():
-            pass
-
-    def _drain_once(self) -> bool:
-        """Dispatch one batch (blocking until work or close).  Returns
-        False when closed and drained.  Exposed for deterministic tests."""
+    # -- worker / finalizer (pipelined) -------------------------------------
+    def _next_batch(self) -> Optional[list]:
+        """Pop the next same-key batch (blocking); None when closed and
+        drained."""
         with self._cv:
             while not self._queue and not self._closed:
                 self._cv.wait()
             if not self._queue:
-                return False
+                return None
             key = self._queue[0][0]
             batch, rest = [], []
             for item in self._queue:
@@ -150,6 +172,67 @@ class SpanBatcher:
                 else:
                     rest.append(item)
             self._queue = rest
+            return batch
+
+    def _run(self) -> None:
+        """Dispatch loop: enqueue device forwards only (async under JAX);
+        the blocking fetch happens on the finalizer thread so batch k+1
+        dispatches while batch k's results stream back."""
+        while True:
+            batch = self._next_batch()
+            if batch is None:
+                break
+            try:
+                chunks = [item[1] for item in batch]
+                metas = [item[2] for item in batch]
+                out, metas = self.tok.dispatch_prepared_group(
+                    chunks, metas, self.max_group, pcm_divisor=batch[0][3],
+                    mesh=self.mesh, state_override=self._mesh_args())
+                self.stats["dispatches"] += 1
+                self._inflight.put(("ok", out, metas, batch))
+            except Exception as exc:
+                self._inflight.put(("dispatch_error", exc, None, batch))
+        self._inflight.put(None)  # finalizer shutdown sentinel
+
+    def _run_finalizer(self) -> None:
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                break
+            tag, out, metas, batch = item
+            if tag == "dispatch_error":
+                self._retry_or_fail(batch, out)
+                continue
+            try:
+                results = list(self.tok.finalize_span_group(
+                    out, metas, want_features=batch[0][4]))
+                for it, res in zip(batch, results):
+                    it[5].set_result(res)
+            except Exception as exc:
+                self._retry_or_fail(batch, exc)
+
+    def _retry_or_fail(self, batch: list, exc: Exception) -> None:
+        """Don't let one poisoned request fail innocent co-batched
+        connections: retry each item alone (synchronously), so only the
+        actual offender surfaces the error."""
+        if len(batch) > 1:
+            logger.warn(f"batched dispatch failed "
+                        f"({type(exc).__name__}: {exc}); retrying "
+                        f"{len(batch)} spans individually")
+            for item in batch:
+                self._dispatch_batch([item])
+            return
+        for item in batch:
+            if not item[5].done():
+                item[5].set_exception(exc)
+
+    def _drain_once(self) -> bool:
+        """Synchronous dispatch+finalize of one batch (blocking until work
+        or close).  Returns False when closed and drained.  The
+        deterministic single-threaded path (tests, autostart=False)."""
+        batch = self._next_batch()
+        if batch is None:
+            return False
         self._dispatch_batch(batch)
         return True
 
@@ -167,19 +250,7 @@ class SpanBatcher:
             for fut, res in zip(futs, results):
                 fut.set_result(res)
         except Exception as exc:
-            if len(batch) > 1:
-                # Don't let one poisoned request fail innocent co-batched
-                # connections: retry each item alone, so only the actual
-                # offender surfaces the error.
-                logger.warn(f"batched dispatch failed "
-                            f"({type(exc).__name__}: {exc}); retrying "
-                            f"{len(batch)} spans individually")
-                for item in batch:
-                    self._dispatch_batch([item])
-                return
-            for fut in futs:
-                if not fut.done():
-                    fut.set_exception(exc)
+            self._retry_or_fail(batch, exc)
 
 
 def parse_address(spec: str) -> Tuple[str, Address]:
@@ -249,9 +320,10 @@ class TokenServer:
         tok = pipeline.tokenizer
         if hasattr(tok, "ensure_initialized"):
             tok.ensure_initialized()
-        # Buffered-fallback requests serialize whole-file (compat tokenizer
-        # and process_audio are not span-interleaved); streaming requests
-        # use the tokenizer's own span-level lock instead.
+        # Compat-mode buffered requests serialize whole-file (the compat
+        # tokenizer has no span interface); neural buffered requests go
+        # through stream_audio_array → span/batch machinery and never
+        # take this lock.
         self._buffered_lock = threading.Lock()
         # Cross-session span batching (see SpanBatcher).  Active whenever
         # the tokenizer groups spans (accelerators: group 8; CPU: only with
@@ -304,34 +376,18 @@ class TokenServer:
     def _prewarm(self) -> None:
         """Compile the streaming forward programs for the configured sample
         rate's largest (30 s) bucket at [1] and [max_group] rows — the
-        shapes every long-stream connection needs.  Best-effort: any
-        failure just means the first client pays the compile instead."""
+        shapes every long-stream connection needs (shared implementation:
+        runtime/prewarm.py, also behind ``nat --prewarm``).  Best-effort:
+        any failure just means the first client pays the compile instead."""
         try:
-            import numpy as np
+            from .prewarm import prewarm_forwards
 
-            import jax
-
-            from .bucketing import MAX_SINGLE_CHUNK_S, bucket_length
-
-            tok = self.pipeline.tokenizer
-            sr = self.pipeline.sample_rate
-            bucket = bucket_length(int(MAX_SINGLE_CHUNK_S * sr), sr)
-            rng = jax.random.PRNGKey(0)
             rows = {1}
             if self._batcher is not None:
                 rows.add(self._batcher.max_group)
-            for r in sorted(rows):
-                # Per-shape lock scope: compile-cache mutation is confined
-                # to _device_lock holders (tokenizer invariant), and an
-                # early client needing a DIFFERENT bucket only waits one
-                # shape's compile, not the whole prewarm.
-                with tok._device_lock:
-                    forward, _ = tok._forward_for(bucket, sr)
-                    out = forward(tok.params, tok.sem_rvq, tok.acc_rvq,
-                                  np.zeros((r, bucket), np.float32), rng)
-                np.asarray(out["semantic_codes"])   # force completion
-            logger.info(f"Prewarmed forward programs: bucket={bucket} "
-                        f"rows={sorted(rows)}")
+            done = prewarm_forwards(self.pipeline.tokenizer,
+                                    self.pipeline.sample_rate, rows=rows)
+            logger.info(f"Prewarmed {len(done)} forward program(s)")
         except Exception as exc:
             logger.debug(f"Prewarm skipped: {type(exc).__name__}: {exc}")
 
@@ -491,6 +547,21 @@ class TokenServer:
             raise ValueError("empty stream: no audio before EOF")
         temp_files = chunks_to_temp_files(chunks)
         try:
+            if hasattr(session.tokenizer, "tokenize_span"):
+                # Neural path: decode whole-file, then feed the same
+                # span/batch machinery streaming connections use — N
+                # buffered-format clients (M4A, raw PCM, ...) interleave
+                # span-by-span and co-batch through the SpanBatcher
+                # instead of serializing whole-file under a coarse lock.
+                for idx, path in enumerate(temp_files):
+                    audio, sr = session.load_audio(path)
+                    session.stream_audio_array(
+                        audio, sr, write,
+                        label="<payload>" if len(temp_files) == 1
+                        else f"<payload#{idx}>")
+                return
+            # Compat tokenizer: host-side single-shot, no span interface;
+            # whole-file processing stays under the coarse lock.
             with self._buffered_lock:
                 for path in temp_files:
                     result = session.process_audio(

@@ -671,8 +671,9 @@ class TestTokenServer:
 
     def test_buffered_fallback_raw_pcm(self, pipeline, server):
         # Raw int16 bytes: no incremental reader claims them, so the server
-        # buffers to EOF and routes through the temp-file process_audio
-        # ladder (raw-PCM reinterpretation) — same as CLI stdin.
+        # buffers to EOF, decodes through the load_audio ladder (raw-PCM
+        # reinterpretation — same as CLI stdin), and streams the decoded
+        # samples through the span machinery.
         rng = np.random.default_rng(7)
         payload = (rng.standard_normal(4000) * 3000).astype("<i2").tobytes()
         got = _client(server.bound_address, payload)
@@ -682,3 +683,65 @@ class TestTokenServer:
                    for ln in got)
         for ln in got:
             json.loads(ln)
+
+    def test_concurrent_buffered_clients_isolated(self, pipeline, server):
+        """Buffered-format clients must scale like streaming clients
+        (VERDICT r3 #6): concurrent raw-PCM payloads produce streams
+        byte-identical to a solo run of the same payload."""
+        rng = np.random.default_rng(11)
+        payloads = [(rng.standard_normal(4000) * s).astype("<i2").tobytes()
+                    for s in (2000, 4000, 8000)]
+        results = [None] * len(payloads)
+
+        def run(i):
+            results[i] = _client(server.bound_address, payloads[i])
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(payloads))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i in range(len(payloads)):
+            assert results[i] is not None, f"client {i} timed out"
+            solo = _client(server.bound_address, payloads[i])
+            assert _drop_end(results[i]) == _drop_end(solo), f"client {i}"
+
+    def test_buffered_path_skips_coarse_lock_for_neural(self, pipeline,
+                                                        server):
+        """While one buffered neural payload is mid-flight, a second must
+        not need the coarse _buffered_lock: hold the lock and require the
+        request to complete anyway."""
+        rng = np.random.default_rng(13)
+        payload = (rng.standard_normal(4000) * 3000).astype("<i2").tobytes()
+        with server._buffered_lock:
+            got = _client(server.bound_address, payload)
+        assert '"event":"end"' in got[-1]
+
+    def test_buffered_clients_cobatch_through_span_batcher(self, tmp_path,
+                                                           monkeypatch):
+        """With the SpanBatcher active, buffered payloads submit their
+        spans to the shared batcher (stats["spans"] grows)."""
+        from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
+        from nat_tpu.runtime.server import TokenServer
+
+        monkeypatch.setenv("NAT_TPU_STREAM_GROUP", "4")
+        pipe = AudioTokenizationPipeline(
+            sample_rate=8000,
+            model_config={"codebook_size": 64, "semantic_dim": 64,
+                          "acoustic_dim": 64, "n_mels": 32},
+            enable_reconstruction=False,
+            codebook_init_method="random",
+            enable_codebook_cache=False,
+        )
+        sock = tmp_path / "cobatch.sock"
+        with TokenServer(pipe, f"unix:{sock}") as srv:
+            assert srv._batcher is not None
+            t = threading.Thread(target=srv.serve_forever, daemon=True)
+            t.start()
+            rng = np.random.default_rng(17)
+            payload = (rng.standard_normal(4000) * 3000
+                       ).astype("<i2").tobytes()
+            got = _client(srv.bound_address, payload)
+            assert '"event":"end"' in got[-1]
+            assert srv._batcher.stats["spans"] >= 1
