@@ -189,6 +189,10 @@ class SpanBatcher:
                     chunks, metas, self.max_group, pcm_divisor=batch[0][3],
                     mesh=self.mesh, state_override=self._mesh_args())
                 self.stats["dispatches"] += 1
+                if hasattr(self.tok, "_prefetch_outputs"):
+                    # Host copies start behind the compute, so the
+                    # finalizer's device_get finds data already in flight.
+                    self.tok._prefetch_outputs(out, batch[0][4])
                 self._inflight.put(("ok", out, metas, batch))
             except Exception as exc:
                 self._inflight.put(("dispatch_error", exc, None, batch))

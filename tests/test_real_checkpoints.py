@@ -84,6 +84,94 @@ class TestRealMert:
         assert np.unique(cb.reshape(-1, 512), axis=0).shape[0] > 128
 
 
+GOLDEN_PATH = (__import__("pathlib").Path(__file__).parent
+               / "goldens" / "real_weights.json")
+
+
+class TestGoldens:
+    """Assert against RECORDED truth (tests/goldens/real_weights.json,
+    produced once by tools/make_goldens.py on a networked machine after
+    `nat --fetch`).  Unlike the torch-differential tests above, these
+    catch conversion/seeding regressions without torch or the network at
+    test time — the golden file IS the reference (VERDICT r3 #5)."""
+
+    @pytest.fixture(scope="class")
+    def golden(self):
+        if not GOLDEN_PATH.exists():
+            pytest.skip("no recorded goldens (run tools/make_goldens.py "
+                        "on a networked machine after `nat --fetch`)")
+        import json
+
+        return json.loads(GOLDEN_PATH.read_text())
+
+    def test_wav2vec2_hidden_state_hash(self, golden):
+        _ckpt("facebook/wav2vec2-base")
+        import hashlib
+
+        import jax.numpy as jnp
+
+        from nat_tpu.io.audio import load_audio_file
+        from nat_tpu.models.semantic import (Wav2Vec2Encoder,
+                                             load_pretrained_semantic_params)
+
+        fixture = GOLDEN_PATH.parent.parent / "fixtures" / "test_simple.wav"
+        assert (hashlib.sha256(fixture.read_bytes()).hexdigest()
+                == golden["fixture_sha256"]), "fixture changed"
+        params = load_pretrained_semantic_params()
+        audio, sr = load_audio_file(str(fixture))
+        if sr != 16000:
+            from nat_tpu.dsp.resample import resample_poly
+
+            audio = resample_poly(audio, sr, 16000)
+        enc = Wav2Vec2Encoder()
+        hidden = np.asarray(enc.apply(
+            {"params": params["wav2vec2"]} if "wav2vec2" in params
+            else {"params": params}, jnp.asarray(audio)[None, :]))
+        assert list(hidden.shape) == golden["wav2vec2_hidden"]["shape"]
+        head = (np.round(hidden[0, :16].astype(np.float64), 4)
+                .astype(np.float32))
+        assert (hashlib.sha256(head.tobytes()).hexdigest()
+                == golden["wav2vec2_hidden"]["first16_sha256"])
+
+    def test_mert_codebook_hashes(self, golden):
+        _ckpt("m-a-p/MERT-v1-95M")
+        import hashlib
+
+        from nat_tpu.quant import seeding
+
+        for extraction, seed in (("semantic", 42), ("acoustic", 123)):
+            want = golden["mert_codebooks"][extraction]
+            cb = seeding.seed_codebooks(
+                method="mert", extraction_type=extraction, num_layers=4,
+                codebook_size=4096, input_dim=512, seed=seed,
+                use_cache=False)
+            assert list(cb.shape) == want["shape"]
+            got = [hashlib.sha256(
+                np.round(cb[i].astype(np.float64), 4)
+                .astype(np.float32).tobytes()).hexdigest()
+                for i in range(cb.shape[0])]
+            assert got == want["per_layer_sha256"], extraction
+
+    def test_token_stream_frames(self, golden):
+        _ckpt("facebook/wav2vec2-base")
+        _ckpt("m-a-p/MERT-v1-95M")
+        from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
+
+        pipe = AudioTokenizationPipeline(
+            deterministic=True,
+            enable_reconstruction=False,
+            codebook_init_method="mert",
+            enable_codebook_cache=False,
+        )
+        assert not pipe.compat_mode
+        fixture = GOLDEN_PATH.parent.parent / "fixtures" / "test_simple.wav"
+        lines: list = []
+        pipe.stream_audio(str(fixture), lines.append)
+        frames = [ln for ln in lines if '"event":"frame"' in ln]
+        want = golden["token_stream"]["frames"]
+        assert frames[:len(want)] == want
+
+
 class TestRealEncodec:
     def test_bridge_loads_real_weights(self):
         _ckpt("facebook/encodec_24khz")
