@@ -38,6 +38,7 @@ from ..ops.interp import interp_linear
 from ..quant import seeding
 from ..quant.rvq import RVQState, rvq_decode, rvq_encode
 from ..utils.logging import logger
+from ..utils.profiling import annotate
 from ..runtime.bucketing import bucket_length, chunk_spans
 from .decoder import ReconstructionDecoder
 from .encoders import MelResidualEncoder, MultiScaleTemporalEncoder
@@ -781,20 +782,23 @@ class NeuralAudioTokenizer:
         lookahead = self._stream_lookahead()
         pending: List[Any] = []  # ('single'|'group', raw output, meta(s))
         for item in plan:
-            if len(item) == 1:
-                start, length = item[0]
-                ext_start = max(0, start - overlap)
-                ext_end = min(total, start + length + overlap)
-                dispatched = ("single",
-                              *self.dispatch_span(src[:, ext_start:ext_end],
-                                                  ext_start, start, length,
-                                                  overlap, sr,
+            with annotate("nat/dispatch"):
+                if len(item) == 1:
+                    start, length = item[0]
+                    ext_start = max(0, start - overlap)
+                    ext_end = min(total, start + length + overlap)
+                    dispatched = (
+                        "single",
+                        *self.dispatch_span(src[:, ext_start:ext_end],
+                                            ext_start, start, length,
+                                            overlap, sr,
+                                            pcm_divisor=divisor))
+                else:
+                    dispatched = (
+                        "group",
+                        *self.dispatch_span_group(src, item, overlap,
+                                                  sr, total, group_size,
                                                   pcm_divisor=divisor))
-            else:
-                dispatched = ("group",
-                              *self.dispatch_span_group(src, item, overlap,
-                                                        sr, total, group_size,
-                                                        pcm_divisor=divisor))
             # Start the device→host copies NOW (async, ordered after the
             # compute): by finalize time the token arrays are already on
             # the wire instead of starting their round trip there.
@@ -1012,7 +1016,8 @@ class NeuralAudioTokenizer:
         process can take minutes (handshake + remote compile completion),
         and it blocks here — not in the async dispatch."""
         if self._first_fetch_done:
-            return jax.device_get(tree)
+            with annotate("nat/device_get"):
+                return jax.device_get(tree)
         from ..utils.heartbeat import heartbeat
 
         with heartbeat(

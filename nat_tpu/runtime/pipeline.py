@@ -514,7 +514,8 @@ class AudioTokenizationPipeline:
         with annotate("nat/load_audio"):
             audio, sr = self.load_audio(file_path)
         duration = len(audio) / sr
-        audio_hash = self._audio_sha256(audio)
+        with annotate("nat/sha256"):
+            audio_hash = self._audio_sha256(audio)
         self.streaming.ndjson_streamer.audio_sha256 = audio_hash
 
         write(self.streaming.begin_stream(
@@ -545,8 +546,10 @@ class AudioTokenizationPipeline:
                                                   actual_sample_rate=sr,
                                                   want_features=False):
                 sem, acc = out["semantic_codes"], out["acoustic_codes"]
-                for line in self.streaming.feed_frames(sem[:, 0], acc[:, 0]):
-                    write(line)
+                with annotate("nat/serialize"):
+                    for line in self.streaming.feed_frames(sem[:, 0],
+                                                           acc[:, 0]):
+                        write(line)
                 sem_parts.append(sem)
                 acc_parts.append(acc)
                 if out["reconstructed"] is not None:
