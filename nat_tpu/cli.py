@@ -193,11 +193,12 @@ Examples:
     parser.add_argument("--model-path", help="Path to pre-trained model weights")
     parser.add_argument("--config", help="Model configuration JSON file")
     parser.add_argument(
-        "--prewarm", nargs="?", const="30", metavar="SECONDS",
+        "--prewarm", nargs="?", const="default", metavar="SECONDS",
         help="Compile + cache the forward programs up front (the 30 s "
-             "streaming bucket at batch rows [1] and [group]) and exit, so "
-             "no later run pays a cold compile. Optional comma-separated "
-             "durations select other buckets, e.g. --prewarm 1,4,30")
+             "streaming bucket at batch rows [1] and [group], plus the "
+             "first-frame ramp bucket) and exit, so no later run pays a "
+             "cold compile. Optional comma-separated durations select "
+             "other buckets, e.g. --prewarm 1,4,30")
     parser.add_argument(
         "--fetch", nargs="?", const="default", metavar="MODELS",
         help="Download pretrained checkpoints (sha256-verified) into the "
@@ -371,13 +372,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.compat_fallback:
             parser.error("--prewarm needs the neural path "
                          "(drop --compat-fallback)")
-        try:
-            prewarm_seconds = [float(s) for s in args.prewarm.split(",") if s]
-        except ValueError:
-            parser.error(f"--prewarm expects comma-separated seconds, got "
-                         f"{args.prewarm!r}")
-        if not prewarm_seconds:
-            parser.error("--prewarm needs at least one duration")
+        if args.prewarm == "default":
+            # Bare --prewarm: prewarm_forwards' default shape set (30 s
+            # bucket at rows [1]/[group] + the first-frame ramp bucket).
+            prewarm_seconds = None
+        else:
+            try:
+                prewarm_seconds = [float(s)
+                                   for s in args.prewarm.split(",") if s]
+            except ValueError:
+                parser.error(f"--prewarm expects comma-separated seconds, "
+                             f"got {args.prewarm!r}")
+            if not prewarm_seconds:
+                parser.error("--prewarm needs at least one duration")
     if args.decode_tokens and args.no_reconstruction:
         parser.error("--decode-tokens requires the reconstruction decoder "
                      "(drop --no-reconstruction)")

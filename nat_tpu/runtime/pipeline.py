@@ -792,7 +792,8 @@ class AudioTokenizationPipeline:
     def _stream_one_file(self, gen, write, index: int) -> Dict[str, Any]:
         """Consume one file's rate/samples/sha256 events from ``gen`` and
         emit its complete NDJSON stream through ``write``."""
-        from ..runtime.bucketing import MAX_SINGLE_CHUNK_S
+        from ..runtime.bucketing import (MAX_SINGLE_CHUNK_S, first_core_len,
+                                         ramp_enabled)
 
         tok = self.tokenizer
         start_time = time.time()
@@ -803,6 +804,16 @@ class AudioTokenizationPipeline:
         max_len = int(MAX_SINGLE_CHUNK_S * sr)
         overlap = int(sr)
         core_len = max(max_len - 2 * overlap, max_len // 2)
+        # First-frame ramp geometry — must mirror chunk_spans exactly so
+        # the live-stdin stream stays byte-identical to the buffered path.
+        ramp0 = first_core_len(sr, overlap) if ramp_enabled() else 0
+        if not (0 < ramp0 < core_len):
+            ramp0 = 0
+
+        def span_len_at(start: int) -> int:
+            """Steady-geometry span length at ``start`` (prefix-stable:
+            independent of how much audio eventually arrives)."""
+            return ramp0 if (ramp0 and start == 0) else core_len
 
         self.streaming.ndjson_streamer.audio_sha256 = None
         write(self.streaming.begin_stream(
@@ -821,7 +832,7 @@ class AudioTokenizationPipeline:
         buf = np.zeros(0, np.float32)
         base = 0          # absolute sample index of buf[0]
         total = 0
-        next_span = 0
+        next_start = 0    # absolute sample index of the next unemitted span
         sha: Optional[str] = None
         sem_parts: List[np.ndarray] = []
         acc_parts: List[np.ndarray] = []
@@ -942,26 +953,28 @@ class AudioTokenizationPipeline:
             # (total > max_len) — exactly when the buffered path would
             # also split (chunk_spans).
             if total > max_len:
-                n_avail = (total - overlap) // core_len - next_span
-                if n_avail > 0:
-                    ready = [(k * core_len, core_len)
-                             for k in range(next_span, next_span + n_avail)]
+                ready = []
+                while next_start + span_len_at(next_start) + overlap <= total:
+                    length = span_len_at(next_start)
+                    ready.append((next_start, length))
+                    next_start += length
+                if ready:
                     process_spans(ready, overlap)
-                    next_span += n_avail
-                    keep_from = next_span * core_len - overlap
+                    keep_from = next_start - overlap
                     if keep_from > base:
                         buf = buf[keep_from - base:]
                         base = keep_from
 
-        if next_span == 0 and total <= max_len:
+        if next_start == 0 and total <= max_len:
             process_span(0, total, 0)  # single span, no overlap (buffered
             #                            path drops the margin too)
         else:
             tail = []
-            start = next_span * core_len
+            start = next_start
             while start < total:
-                tail.append((start, min(core_len, total - start)))
-                start += core_len
+                length = min(span_len_at(start), total - start)
+                tail.append((start, length))
+                start += length
             process_spans(tail, overlap)
         encoding_time = time.time() - encode_start
 

@@ -26,35 +26,46 @@ def prewarm_forwards(tokenizer, sample_rate: int,
 
     Defaults: the largest (30 s) bucket — the shape every long-stream span
     uses — at [1] (first span / lone request) and [group] (the span-group
-    batch size).  Each shape compiles under the tokenizer's device lock so
-    a concurrent request needing a different shape only ever waits for one
-    compile, not the whole sweep.
+    batch size), plus the first-frame-ramp bucket (FIRST_SPAN_S) at [1]
+    when the ramp is on.  Each shape compiles under the tokenizer's device
+    lock so a concurrent request needing a different shape only ever waits
+    for one compile, not the whole sweep.
     """
     import numpy as np
 
     import jax
 
-    from .bucketing import MAX_SINGLE_CHUNK_S, bucket_length
+    from .bucketing import (FIRST_SPAN_S, MAX_SINGLE_CHUNK_S, bucket_length,
+                            ramp_enabled)
 
     tokenizer.ensure_initialized()
-    if seconds is None:
-        seconds = [MAX_SINGLE_CHUNK_S]
     if rows is None:
         group = tokenizer._stream_group_size()
         rows = sorted({1, group})
-
-    buckets = sorted({bucket_length(int(float(s) * sample_rate), sample_rate)
-                      for s in seconds})
+    shapes: List[Tuple[int, int]] = []   # (bucket, rows) pairs to compile
+    if seconds is None:
+        big = bucket_length(int(MAX_SINGLE_CHUNK_S * sample_rate),
+                            sample_rate)
+        shapes = [(big, int(r)) for r in sorted(set(rows))]
+        if ramp_enabled():
+            first = bucket_length(int(FIRST_SPAN_S * sample_rate),
+                                  sample_rate)
+            if first != big:
+                shapes.insert(0, (first, 1))
+    else:
+        buckets = sorted({bucket_length(int(float(s) * sample_rate),
+                                        sample_rate) for s in seconds})
+        shapes = [(b, int(r)) for b in buckets
+                  for r in sorted(set(int(r) for r in rows))]
     rng = jax.random.PRNGKey(0)
     done: List[Tuple[int, int]] = []
-    for bucket in buckets:
-        for r in sorted(set(int(r) for r in rows)):
-            with tokenizer._device_lock:
-                forward, _ = tokenizer._forward_for(bucket, sample_rate)
-                out = forward(tokenizer.params, tokenizer.sem_rvq,
-                              tokenizer.acc_rvq,
-                              np.zeros((r, bucket), np.float32), rng)
-            np.asarray(out["semantic_codes"])   # force completion
-            done.append((bucket, r))
-            logger.info(f"Prewarmed forward: bucket={bucket} rows={r}")
+    for bucket, r in shapes:
+        with tokenizer._device_lock:
+            forward, _ = tokenizer._forward_for(bucket, sample_rate)
+            out = forward(tokenizer.params, tokenizer.sem_rvq,
+                          tokenizer.acc_rvq,
+                          np.zeros((r, bucket), np.float32), rng)
+        np.asarray(out["semantic_codes"])   # force completion
+        done.append((bucket, r))
+        logger.info(f"Prewarmed forward: bucket={bucket} rows={r}")
     return done

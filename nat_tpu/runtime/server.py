@@ -36,6 +36,7 @@ from __future__ import annotations
 import os
 import socket
 import threading
+import time
 from concurrent.futures import Future
 from typing import Optional, Tuple, Union
 
@@ -68,11 +69,24 @@ class SpanBatcher:
     depth is bounded (``_MAX_INFLIGHT``) so a fast drain can't enqueue
     unbounded device work.
 
+    Coalescing: an async worker drains the queue much faster than the
+    device computes, which would degrade concurrent load to 1-2-span
+    batches (measured 34 spans → 24 dispatches).  So when the device
+    pipeline is already deep enough to stay busy (``_busy >=
+    _COALESCE_BUSY`` dispatched-but-unfinalized batches), the worker
+    holds the queue head back — dispatching it now could not start any
+    sooner — until the head's program key can fill a group, a batch in
+    flight completes, or a hard cap expires (``NAT_TPU_SERVE_COALESCE_S``,
+    default 0.25 s).  With ≤1 batch in flight it dispatches immediately,
+    so the device queue never starves and a lone request gains zero
+    latency.
+
     Requires argmin (non-stochastic) quantization — grouping reassigns the
     per-span RNG stream, which argmin ignores.
     """
 
     _MAX_INFLIGHT = 3
+    _COALESCE_BUSY = 2
 
     def __init__(self, tokenizer, max_group: Optional[int] = None,
                  autostart: bool = True, mesh=None) -> None:
@@ -91,6 +105,9 @@ class SpanBatcher:
         self._cv = threading.Condition()
         self._queue: list = []  # (key, prepared, meta, divisor, want_f, fut)
         self._closed = False
+        self._busy = 0          # batches dispatched but not yet finalized
+        self._coalesce_s = float(
+            os.environ.get("NAT_TPU_SERVE_COALESCE_S", "0.25"))
         self.stats = {"spans": 0, "dispatches": 0}
         self._inflight: "_queue.Queue" = _queue.Queue(
             maxsize=self._MAX_INFLIGHT)
@@ -164,6 +181,17 @@ class SpanBatcher:
                 self._cv.wait()
             if not self._queue:
                 return None
+            # Coalescing hold-back (zero added latency — see class doc):
+            # only the worker pops, so the queue can only grow here.
+            deadline = None
+            while (not self._closed and self._busy >= self._COALESCE_BUSY
+                   and self._same_key_count() < self.max_group):
+                now = time.monotonic()
+                if deadline is None:
+                    deadline = now + self._coalesce_s
+                if now >= deadline:
+                    break
+                self._cv.wait(timeout=deadline - now)
             key = self._queue[0][0]
             batch, rest = [], []
             for item in self._queue:
@@ -173,6 +201,11 @@ class SpanBatcher:
                     rest.append(item)
             self._queue = rest
             return batch
+
+    def _same_key_count(self) -> int:
+        """Queued items sharing the head's program key (caller holds _cv)."""
+        key = self._queue[0][0]
+        return sum(1 for item in self._queue if item[0] == key)
 
     def _run(self) -> None:
         """Dispatch loop: enqueue device forwards only (async under JAX);
@@ -193,9 +226,12 @@ class SpanBatcher:
                     # Host copies start behind the compute, so the
                     # finalizer's device_get finds data already in flight.
                     self.tok._prefetch_outputs(out, batch[0][4])
-                self._inflight.put(("ok", out, metas, batch))
+                handoff = ("ok", out, metas, batch)
             except Exception as exc:
-                self._inflight.put(("dispatch_error", exc, None, batch))
+                handoff = ("dispatch_error", exc, None, batch)
+            with self._cv:
+                self._busy += 1
+            self._inflight.put(handoff)
         self._inflight.put(None)  # finalizer shutdown sentinel
 
     def _run_finalizer(self) -> None:
@@ -204,16 +240,21 @@ class SpanBatcher:
             if item is None:
                 break
             tag, out, metas, batch = item
-            if tag == "dispatch_error":
-                self._retry_or_fail(batch, out)
-                continue
             try:
-                results = list(self.tok.finalize_span_group(
-                    out, metas, want_features=batch[0][4]))
-                for it, res in zip(batch, results):
-                    it[5].set_result(res)
-            except Exception as exc:
-                self._retry_or_fail(batch, exc)
+                if tag == "dispatch_error":
+                    self._retry_or_fail(batch, out)
+                    continue
+                try:
+                    results = list(self.tok.finalize_span_group(
+                        out, metas, want_features=batch[0][4]))
+                    for it, res in zip(batch, results):
+                        it[5].set_result(res)
+                except Exception as exc:
+                    self._retry_or_fail(batch, exc)
+            finally:
+                with self._cv:
+                    self._busy -= 1
+                    self._cv.notify_all()  # wakes a coalescing worker
 
     def _retry_or_fail(self, batch: list, exc: Exception) -> None:
         """Don't let one poisoned request fail innocent co-batched
@@ -384,6 +425,7 @@ class TokenServer:
         runtime/prewarm.py, also behind ``nat --prewarm``).  Best-effort:
         any failure just means the first client pays the compile instead."""
         try:
+            from .bucketing import FIRST_SPAN_S, ramp_enabled
             from .prewarm import prewarm_forwards
 
             rows = {1}
@@ -391,6 +433,14 @@ class TokenServer:
                 rows.add(self._batcher.max_group)
             done = prewarm_forwards(self.pipeline.tokenizer,
                                     self.pipeline.sample_rate, rows=rows)
+            if self._batcher is not None and ramp_enabled():
+                # Concurrent clients' ramp spans co-batch into a
+                # [max_group, ramp-bucket] forward no single stream ever
+                # compiles — warm it so the first burst doesn't.
+                done += prewarm_forwards(
+                    self.pipeline.tokenizer, self.pipeline.sample_rate,
+                    seconds=[FIRST_SPAN_S],
+                    rows=[self._batcher.max_group])
             logger.info(f"Prewarmed {len(done)} forward program(s)")
         except Exception as exc:
             logger.debug(f"Prewarm skipped: {type(exc).__name__}: {exc}")

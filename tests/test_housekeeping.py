@@ -46,15 +46,24 @@ class TestLongFileChunking:
         """A >30 s input runs through the fixed-chunk path; frame counts
         accumulate across chunks with no crash and monotone timing."""
         from nat_tpu.models.tokenizer import NeuralAudioTokenizer
-        from nat_tpu.runtime.bucketing import MAX_SINGLE_CHUNK_S, chunk_spans
+        from nat_tpu.runtime.bucketing import (FIRST_SPAN_S,
+                                               MAX_SINGLE_CHUNK_S,
+                                               chunk_spans)
 
         sr = 22050
         dur = 70.0
         spans = chunk_spans(int(sr * dur), sr, overlap=sr)
-        assert len(spans) == 3
+        assert len(spans) == 4
+        # First-frame ramp: the first span fills the FIRST_SPAN_S bucket
+        # exactly once its right-hand overlap margin is added.
+        assert spans[0][1] == int(FIRST_SPAN_S * sr) - sr
         # Interior spans reserve 2×overlap of margin below the max bucket
-        assert spans[0][1] == int(MAX_SINGLE_CHUNK_S * sr) - 2 * sr
+        assert spans[1][1] == int(MAX_SINGLE_CHUNK_S * sr) - 2 * sr
         assert sum(l for _, l in spans) == int(sr * dur)
+        # Opt-out restores uniform chunks
+        uniform = chunk_spans(int(sr * dur), sr, overlap=sr, ramp=False)
+        assert len(uniform) == 3
+        assert uniform[0][1] == int(MAX_SINGLE_CHUNK_S * sr) - 2 * sr
 
         tok = NeuralAudioTokenizer(
             codebook_size=64, enable_codebook_cache=False,

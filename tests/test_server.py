@@ -11,6 +11,7 @@ import io
 import json
 import socket
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -327,6 +328,75 @@ class TestTokenServer:
             np.testing.assert_array_equal(got["acoustic_codes"],
                                           ref["acoustic_codes"])
 
+    def test_coalescing_policy(self, pipeline):
+        """_next_batch hold-back semantics: with a shallow device pipeline
+        it pops immediately; with >=_COALESCE_BUSY batches in flight it
+        waits for a full same-key group, a busy drop, or the cap — and a
+        full group returns without burning the cap."""
+        from nat_tpu.runtime.server import SpanBatcher
+
+        tok = pipeline.tokenizer
+        tok.ensure_initialized()
+        sr = 8000
+        t = np.arange(sr) / sr
+        seg = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+
+        def submit(b):
+            return b.submit_span(seg[None, :], 0, 0, seg.size, 0, sr,
+                                 want_features=False)
+
+        # Shallow pipeline (busy < threshold): no hold-back.
+        b = SpanBatcher(tok, max_group=4, autostart=False)
+        b._coalesce_s = 5.0
+        b._busy = 1
+        submit(b)
+        start = time.perf_counter()
+        batch = b._next_batch()
+        assert len(batch) == 1
+        assert time.perf_counter() - start < 1.0
+
+        # Deep pipeline: the cap bounds the wait when no group fills.
+        b._busy = 2
+        b._coalesce_s = 0.05
+        submit(b)
+        start = time.perf_counter()
+        batch = b._next_batch()
+        waited = time.perf_counter() - start
+        assert len(batch) == 1
+        assert 0.04 <= waited < 2.0
+
+        # Deep pipeline: a filling group releases the wait early.
+        b._coalesce_s = 30.0
+        submit(b)
+
+        def fill():
+            time.sleep(0.1)
+            for _ in range(3):
+                submit(b)
+
+        threading.Thread(target=fill, daemon=True).start()
+        start = time.perf_counter()
+        batch = b._next_batch()
+        assert len(batch) == 4      # full max_group
+        assert time.perf_counter() - start < 10.0
+
+        # Deep pipeline: a busy drop (finalized batch) releases the wait.
+        submit(b)
+
+        def drop():
+            time.sleep(0.1)
+            with b._cv:
+                b._busy = 1
+                b._cv.notify_all()
+
+        threading.Thread(target=drop, daemon=True).start()
+        start = time.perf_counter()
+        batch = b._next_batch()
+        assert len(batch) == 1
+        assert time.perf_counter() - start < 10.0
+        # Resolve the dangling futures so no daemon state leaks.
+        b._closed = True
+
     def test_batch_failure_retries_individually(self, pipeline):
         """A failing batched dispatch must not poison innocent co-batched
         requests: the batcher retries each span alone."""
@@ -619,12 +689,15 @@ class TestTokenServer:
 
     def test_prewarm_compiles_stream_shapes(self, pipeline, monkeypatch,
                                             tmp_path):
-        """NAT_TPU_SERVE_PREWARM=1 compiles the 30 s-bucket forward at
-        [1] and [max_group] rows at startup (stubbed forward: the wiring,
-        not the compile, is under test)."""
+        """NAT_TPU_SERVE_PREWARM=1 compiles every shape a long-stream
+        burst needs at startup — the 30 s bucket at [1]/[max_group] rows
+        plus the first-frame ramp bucket at [1] and, for co-batched ramp
+        spans, [max_group] (stubbed forward: the wiring, not the compile,
+        is under test)."""
         import time as _time
 
-        from nat_tpu.runtime.bucketing import (MAX_SINGLE_CHUNK_S,
+        from nat_tpu.runtime.bucketing import (FIRST_SPAN_S,
+                                               MAX_SINGLE_CHUNK_S,
                                                bucket_length)
         from nat_tpu.runtime.server import TokenServer
 
@@ -640,16 +713,16 @@ class TestTokenServer:
                         np.zeros((4, wave.shape[0], 1), np.int32)}
             return fake, None
 
+        sr = pipeline.sample_rate
+        big = bucket_length(int(MAX_SINGLE_CHUNK_S * sr), sr)
+        ramp = bucket_length(int(FIRST_SPAN_S * sr), sr)
+        expected = {(1, ramp), (1, big), (4, big), (4, ramp)}
         monkeypatch.setattr(tok, "_forward_for", fake_forward_for)
         with TokenServer(pipeline, f"unix:{tmp_path}/p.sock"):
             deadline = _time.time() + 20
-            while len(calls) < 2 and _time.time() < deadline:
+            while len(calls) < len(expected) and _time.time() < deadline:
                 _time.sleep(0.05)
-        assert sorted(c[0] for c in calls) == [1, 4]
-        expected_bucket = bucket_length(
-            int(MAX_SINGLE_CHUNK_S * pipeline.sample_rate),
-            pipeline.sample_rate)
-        assert all(c[1] == expected_bucket for c in calls)
+        assert set(calls) == expected
 
     def test_compat_pipeline_serves_buffered(self, tmp_path):
         """Compat mode has no incremental tokenizer: the server must route

@@ -219,16 +219,18 @@ def test_span_group_losses_are_per_span(monkeypatch):
             enable_reconstruction=False)
         return [out["losses"] for out in tok.iter_chunks(x[None, :])]
 
-    seq, grp = run("1"), run("4")   # spans [s0],[s1,s2,s3→pad 4],[s4]
-    assert len(seq) == len(grp) == 5
+    # Geometry (first-frame ramp): s0 = 3 s ramp span, s1..s4 = 28 s core
+    # spans (one [4, bucket] group at group=4), s5 = 5 s tail (own bucket).
+    seq, grp = run("1"), run("4")
+    assert len(seq) == len(grp) == 6
     for ls, lg in zip(seq, grp):
         assert ls.keys() == lg.keys()
         for k in ls:
             assert ls[k] == pytest.approx(lg[k], rel=1e-5), k
     # Spans hold different audio → different losses (a batch mean would
     # make the grouped spans' values identical).
-    grouped_totals = [l["total_vq_loss"] for l in grp[1:4]]
-    assert len(set(grouped_totals)) == 3
+    grouped_totals = [l["total_vq_loss"] for l in grp[1:5]]
+    assert len(set(grouped_totals)) == 4
 
 
 def test_tokenize_many_sequential_path_honors_want_features(tmp_path):
