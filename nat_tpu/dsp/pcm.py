@@ -130,6 +130,28 @@ def _try_m(wave: np.ndarray, m: int,
     return i16.reshape(wave.shape), divisor
 
 
+def verify_hint(wave: np.ndarray, i16: np.ndarray,
+                divisor: np.float32) -> bool:
+    """Bitwise spot-check that ``(i16/32768)/divisor`` reproduces ``wave``
+    on a strided ~64 K-sample probe.  Loader-built hints (io/audio.py
+    sidecar + peak_normalize_ex divisor) are exact by construction; this
+    guards against plumbing bugs (wrong array, stale divisor), not
+    numerics — so a probe suffices where recover_pcm16 needs a full pass."""
+    flat_w = np.ascontiguousarray(wave).reshape(-1)
+    flat_i = np.ascontiguousarray(i16).reshape(-1)
+    if (flat_w.size != flat_i.size or flat_w.dtype != np.float32
+            or flat_i.dtype != np.int16 or flat_w.size == 0):
+        return False
+    d = np.float32(divisor)
+    if not (d > 0) or not np.isfinite(d):
+        return False
+    stride = max(1, flat_w.size // _PROBE)
+    w = flat_w[::stride][:_PROBE]
+    i = flat_i[::stride][:_PROBE]
+    rebuilt = (i.astype(np.float32) / _F32_32768) / d
+    return np.array_equal(rebuilt.view(np.uint32), w.view(np.uint32))
+
+
 _device_exact_cache: Dict[Tuple[str, float], bool] = {}
 
 

@@ -287,6 +287,80 @@ def decode_bytes(data: bytes, allow_raw_fallback: bool = True) -> Tuple[np.ndarr
     return decode_raw_pcm16(data)
 
 
+def _extract_pcm16_mono(data: bytes, audio: np.ndarray) -> Optional[np.ndarray]:
+    """Recover the source's raw int16 samples as a (zero-copy where
+    possible) array satisfying ``audio == i16.astype(f32)/32768`` bitwise.
+
+    Covers the mono 16-bit PCM containers whose decode is a plain
+    ``frombuffer`` (WAV fmt=1, AU encoding=3, raw-PCM fallback); everything
+    else returns None and the caller falls back to
+    :func:`nat_tpu.dsp.pcm.recover_pcm16`'s full scan.  A strided bitwise
+    probe against ``audio`` guards against picking up the wrong branch of
+    the decode ladder (e.g. codec-shim output for bytes that merely look
+    like a container)."""
+    if audio.dtype != np.float32 or audio.size == 0:
+        return None
+
+    def _verify(i16: np.ndarray) -> Optional[np.ndarray]:
+        if i16.size != audio.size:
+            return None
+        stride = max(1, i16.size // 65536)
+        rebuilt = i16[::stride].astype(np.float32) / 32768.0
+        if np.array_equal(rebuilt.view(np.uint32),
+                          audio[::stride].view(np.uint32)):
+            return i16
+        return None
+
+    try:
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            fmt_code = channels = bits = None
+            payload = None
+            pos = 12
+            while pos + 8 <= len(data):
+                cid = data[pos:pos + 4]
+                (size,) = struct.unpack_from("<I", data, pos + 4)
+                body = data[pos + 8:pos + 8 + size]
+                if cid == b"fmt " and len(body) >= 16:
+                    fmt_code, channels, _, _, _, bits = struct.unpack_from(
+                        "<HHIIHH", body, 0)
+                    if fmt_code == 0xFFFE and len(body) >= 40:
+                        (fmt_code,) = struct.unpack_from("<H", body, 24)
+                elif cid == b"data":
+                    payload = body
+                pos += 8 + size + (size & 1)
+            if fmt_code == 1 and bits == 16 and channels == 1 and payload:
+                usable = len(payload) - (len(payload) % 2)
+                return _verify(np.frombuffer(payload[:usable], dtype="<i2"))
+            return None
+        if data[:4] == b".snd":
+            offset, _sz, encoding, _sr, channels = struct.unpack_from(
+                ">IIIII", data, 4)
+            if encoding == 3 and channels == 1:
+                payload = data[offset:]
+                usable = len(payload) - (len(payload) % 2)
+                return _verify(np.frombuffer(payload[:usable],
+                                             dtype=">i2").astype("<i2"))
+            return None
+        # Raw-PCM16 fallback shape: the whole byte string as LE int16.
+        usable = len(data) - (len(data) % 2)
+        if usable // 2 == audio.size:
+            return _verify(np.frombuffer(data[:usable], dtype="<i2"))
+    except Exception:
+        return None
+    return None
+
+
+def decode_bytes_ex(data: bytes, allow_raw_fallback: bool = True
+                    ) -> Tuple[np.ndarray, int, Optional[np.ndarray]]:
+    """:func:`decode_bytes` plus a lossless int16 sidecar (or None).
+
+    The sidecar lets downstream int16 wire transport (dsp/pcm.py) skip its
+    full-array recovery scan: ``audio == sidecar/32768`` is verified on a
+    strided probe here."""
+    audio, sr = decode_bytes(data, allow_raw_fallback=allow_raw_fallback)
+    return audio, sr, _extract_pcm16_mono(data, audio)
+
+
 def load_audio_file(path: str, allow_raw_fallback: bool = True) -> Tuple[np.ndarray, int]:
     """Load an audio file from disk into (mono float32, sample_rate)."""
     with open(path, "rb") as f:
@@ -296,14 +370,36 @@ def load_audio_file(path: str, allow_raw_fallback: bool = True) -> Tuple[np.ndar
     return decode_bytes(data, allow_raw_fallback=allow_raw_fallback)
 
 
+def load_audio_file_ex(path: str, allow_raw_fallback: bool = True
+                       ) -> Tuple[np.ndarray, int, Optional[np.ndarray]]:
+    """:func:`load_audio_file` plus the int16 sidecar (see
+    :func:`decode_bytes_ex`)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data:
+        raise ValueError(f"Empty audio file: {path}")
+    return decode_bytes_ex(data, allow_raw_fallback=allow_raw_fallback)
+
+
 def peak_normalize(audio: np.ndarray, eps: float = 1e-8) -> np.ndarray:
     """Peak-normalize like the reference load path (4785): always divide by
     ``max(|x|) + eps`` — bit-identical normalization is required for
     audio_sha256 parity with reference-produced streams."""
+    return peak_normalize_ex(audio, eps)[0]
+
+
+def peak_normalize_ex(audio: np.ndarray, eps: float = 1e-8):
+    """:func:`peak_normalize` plus the divisor actually applied (None for
+    empty input).  Callers building an int16 wire hint need the exact
+    divisor so ``(i16/32768)/divisor`` reproduces the normalized float32
+    bitwise — it is the very division performed here."""
     if audio.size == 0:
-        return audio.astype(np.float32)
-    peak = np.abs(audio).max()
-    return (audio / (peak + eps)).astype(np.float32)
+        return audio.astype(np.float32), None
+    # max(max, -min) == abs(...).max() bit-for-bit (float negation is
+    # exact) without materializing the full |x| temporary.
+    peak = np.maximum(audio.max(), -audio.min())
+    divisor = peak + eps
+    return (audio / divisor).astype(np.float32, copy=False), divisor
 
 
 def encode_wav_pcm16(audio: np.ndarray, sample_rate: int) -> bytes:

@@ -660,6 +660,13 @@ class NeuralAudioTokenizer:
                                   + acc_losses["total_vq_loss"]),
             }
 
+            # Token IDs travel device→host on every streamed group; int16
+            # halves those bytes (tunnelled backends are transfer-bound).
+            # Lossless whenever the codebook fits — IDs are < codebook_size.
+            if self.codebook_size <= 32767:
+                sem_codes = sem_codes.astype(jnp.int16)
+                acc_codes = acc_codes.astype(jnp.int16)
+
             reconstructed = None
             if reconstruct:
                 joint = jnp.concatenate([sem_q, acc_q], axis=-1)
@@ -709,7 +716,7 @@ class NeuralAudioTokenizer:
     # Public host API (reference-shaped result dict)
     # ------------------------------------------------------------------
     def iter_chunks(self, waveform, actual_sample_rate: Optional[int] = None,
-                    want_features: bool = True):
+                    want_features: bool = True, pcm16_hint=None):
         """Tokenize incrementally: yields one dict per chunk with
         ``semantic_codes``/``acoustic_codes`` ``[N, B, t]``, optional
         ``reconstructed`` ``[B, samples]``, ``losses``, and features.
@@ -771,7 +778,7 @@ class NeuralAudioTokenizer:
         # bandwidth-limited backends.  Token streams are bit-identical.
         src, divisor = wave, None
         with annotate("nat/pcm16_wire"):
-            wire = self._pcm16_wire(wave)
+            wire = self._pcm16_wire(wave, hint=pcm16_hint)
         if wire is not None:
             src, divisor = wire
 
@@ -806,11 +813,50 @@ class NeuralAudioTokenizer:
             self._prefetch_outputs(dispatched[1], want_features)
             pending.append(dispatched)
             while len(pending) > lookahead:
-                yield from self._finalize_plan_item(pending.pop(0),
-                                                    want_features)
-        while pending:
-            yield from self._finalize_plan_item(pending.pop(0),
-                                                want_features)
+                # Coalesced fetch: pop the forced oldest item plus every
+                # further pending item the device has ALREADY computed —
+                # one device_get round trip instead of one per item.  On
+                # tunnelled backends per-fetch latency rivals the payload
+                # itself, and compute typically runs ahead of transfers;
+                # coalescing only takes items whose results exist, so no
+                # frame waits on a later group's compute.
+                batch = [pending.pop(0)]
+                while pending and self._outputs_ready(pending[0][1]):
+                    batch.append(pending.pop(0))
+                yield from self._finalize_plan_items(batch, want_features)
+        if pending:
+            # End of stream: everything left is due now — single fetch.
+            yield from self._finalize_plan_items(pending, want_features)
+
+    @staticmethod
+    def _outputs_ready(out) -> bool:
+        """True when a dispatched forward's results exist on device (or are
+        host arrays already).  Used only as a coalescing heuristic."""
+        leaf = out.get("semantic_codes")
+        ready = getattr(leaf, "is_ready", None)
+        if ready is None:
+            return True
+        try:
+            return bool(ready())
+        except Exception:
+            return True
+
+    def _fetch_tree(self, out: Dict, want_features: bool) -> Dict:
+        """The leaves finalize will need, as one pytree (device or host)."""
+        keys = ["semantic_codes", "acoustic_codes", "reconstructed"]
+        if want_features:
+            keys += ["semantic_features", "acoustic_features"]
+        return {**{k: out.get(k) for k in keys}, "losses": out["losses"]}
+
+    def _finalize_plan_items(self, items, want_features: bool = True):
+        if len(items) > 1:
+            reqs = [self._fetch_tree(out, want_features)
+                    for _, out, _ in items]
+            fetched = self._device_get(reqs)
+            items = [(kind, dict(out, **host), meta)
+                     for (kind, out, meta), host in zip(items, fetched)]
+        for item in items:
+            yield from self._finalize_plan_item(item, want_features)
 
     def _finalize_plan_item(self, item, want_features: bool = True):
         kind, out, meta = item
@@ -903,10 +949,14 @@ class NeuralAudioTokenizer:
             i = j
         return items
 
-    def _pcm16_wire(self, wave: np.ndarray):
+    def _pcm16_wire(self, wave: np.ndarray, hint=None):
         """int16 transport handle for PCM16-derived waves (see dsp/pcm.py);
         None = float32 transport.  Off on CPU backends (no wire to save)
-        unless NAT_TPU_PCM16_WIRE=1 forces it; =0 disables everywhere."""
+        unless NAT_TPU_PCM16_WIRE=1 forces it; =0 disables everywhere.
+
+        ``hint=(i16, divisor)`` — a loader-built sidecar (pipeline
+        ``_load_audio_ex``) — skips the full-array recovery scan: it is
+        probe-verified and used directly when it checks out."""
         env = os.environ.get("NAT_TPU_PCM16_WIRE")
         if env == "0":
             return None
@@ -918,6 +968,13 @@ class NeuralAudioTokenizer:
                 return None
         from ..dsp import pcm
 
+        if hint is not None:
+            i16, divisor = hint
+            i16 = np.atleast_2d(np.asarray(i16))
+            if (i16.shape == wave.shape
+                    and pcm.verify_hint(wave, i16, divisor)
+                    and pcm.device_conversion_exact(divisor)):
+                return i16, np.float32(divisor)
         rec = pcm.recover_pcm16(wave)
         if rec is None:
             return None
@@ -1168,14 +1225,15 @@ class NeuralAudioTokenizer:
             want_features=want_features)
 
     def __call__(self, waveform, actual_sample_rate: Optional[int] = None,
-                 want_features: bool = True) -> Dict:
+                 want_features: bool = True, pcm16_hint=None) -> Dict:
         sem_parts: List[np.ndarray] = []
         acc_parts: List[np.ndarray] = []
         recon_parts: List[np.ndarray] = []
         losses: Dict[str, float] = {}
         last_out: Dict = {"semantic_features": None, "acoustic_features": None}
         for out in self.iter_chunks(waveform, actual_sample_rate,
-                                    want_features=want_features):
+                                    want_features=want_features,
+                                    pcm16_hint=pcm16_hint):
             sem_parts.append(out["semantic_codes"])
             acc_parts.append(out["acoustic_codes"])
             if out["reconstructed"] is not None:

@@ -256,29 +256,51 @@ class AudioTokenizationPipeline:
     def load_audio(self, file_path: str,
                    target_length: Optional[int] = None) -> Tuple[np.ndarray, int]:
         """Load, optionally resample, peak-normalize, optionally pad/trim."""
+        return self._load_audio_ex(file_path, target_length)[:2]
+
+    def _load_audio_ex(self, file_path: str,
+                       target_length: Optional[int] = None):
+        """:meth:`load_audio` plus an int16 wire hint ``(i16, divisor)`` or
+        None.  For mono PCM16 sources the decoder surfaces the raw integers
+        (io/audio.py sidecar) and the normalize step reports its exact
+        divisor, so the tokenizer's int16 transport skips its full-array
+        recovery scan — ``(i16/32768)/divisor`` IS the normalized float32
+        by construction."""
         if not Path(file_path).exists():
             raise FileNotFoundError(f"Audio file not found: {file_path}")
-        audio, sr = audio_io.load_audio_file(file_path)
+        audio, sr, pcm16 = audio_io.load_audio_file_ex(file_path)
 
         if self.resample_rate and sr != self.resample_rate:
             from ..dsp import resample as dsp_resample
 
             audio = dsp_resample.resample_poly(audio, sr, self.resample_rate)
             sr = self.resample_rate
+            pcm16 = None  # resampled floats are no longer int16-derived
 
-        audio = audio_io.peak_normalize(audio)
+        audio, divisor = audio_io.peak_normalize_ex(audio)
 
         target_length = target_length or self.max_length
         if target_length:
             if len(audio) > target_length:
                 audio = audio[:target_length]
+                if pcm16 is not None:
+                    pcm16 = pcm16[:target_length]
             elif len(audio) < target_length:
-                audio = np.pad(audio, (0, target_length - len(audio)))
-        return audio, sr
+                pad = target_length - len(audio)
+                audio = np.pad(audio, (0, pad))
+                if pcm16 is not None:
+                    # zero int16 → exactly 0.0 after device conversion
+                    pcm16 = np.pad(pcm16, (0, pad))
+        hint = ((pcm16, np.float32(divisor))
+                if pcm16 is not None and divisor is not None else None)
+        return audio, sr, hint
 
     @staticmethod
     def _audio_sha256(audio: np.ndarray) -> str:
-        return hashlib.sha256(audio.astype(np.float32).tobytes()).hexdigest()
+        # Hash the array buffer directly: tobytes() would copy ~4 bytes/
+        # sample and astype another copy; long files are tens of MB.
+        audio = np.ascontiguousarray(audio, dtype=np.float32)
+        return hashlib.sha256(memoryview(audio)).hexdigest()
 
     def _log_token_diversity(self, semantic_codes, acoustic_codes) -> None:
         """Token-diversity sanity check (reference 4911-4925): near-constant
@@ -345,11 +367,12 @@ class AudioTokenizationPipeline:
         start_time = time.time()
         self.budget_meter.reset()
 
+        pcm16_hint = None
         if _preloaded is not None:
             audio, sr = _preloaded
         else:
             with annotate("nat/load_audio"):
-                audio, sr = self.load_audio(file_path)
+                audio, sr, pcm16_hint = self._load_audio_ex(file_path)
         duration = len(audio) / sr
         logger.info(f"Loaded audio: {len(audio)} samples, {sr} Hz, {duration:.2f}s")
 
@@ -370,7 +393,8 @@ class AudioTokenizationPipeline:
                 if hasattr(self.tokenizer, "iter_chunks"):
                     result = self.tokenizer(audio[None, :],
                                             actual_sample_rate=sr,
-                                            want_features=want_features)
+                                            want_features=want_features,
+                                            pcm16_hint=pcm16_hint)
                 else:  # compat tokenizer: host-side, no fetch to skip
                     result = self.tokenizer(audio[None, :],
                                             actual_sample_rate=sr)
@@ -512,7 +536,7 @@ class AudioTokenizationPipeline:
             return result
 
         with annotate("nat/load_audio"):
-            audio, sr = self.load_audio(file_path)
+            audio, sr, pcm16_hint = self._load_audio_ex(file_path)
         duration = len(audio) / sr
         with annotate("nat/sha256"):
             audio_hash = self._audio_sha256(audio)
@@ -544,7 +568,8 @@ class AudioTokenizationPipeline:
             # fetch would serialize against the next group's compute.
             for out in self.tokenizer.iter_chunks(audio[None, :],
                                                   actual_sample_rate=sr,
-                                                  want_features=False):
+                                                  want_features=False,
+                                                  pcm16_hint=pcm16_hint):
                 sem, acc = out["semantic_codes"], out["acoustic_codes"]
                 with annotate("nat/serialize"):
                     for line in self.streaming.feed_frames(sem[:, 0],

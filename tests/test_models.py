@@ -86,7 +86,7 @@ class TestTokenizer:
         assert result["num_frames"] >= 1
         for codes in result["semantic_codes"] + result["acoustic_codes"]:
             assert codes.shape == (1, result["num_frames"])
-            assert codes.dtype in (np.int32, np.int64)
+            assert codes.dtype in (np.int16, np.int32, np.int64)
             assert np.all(codes >= 0) and np.all(codes < 128)
 
     def test_compat_timebase_is_min_of_streams(self, tokenizer, result):
