@@ -152,39 +152,50 @@ def verify_hint(wave: np.ndarray, i16: np.ndarray,
     return np.array_equal(rebuilt.view(np.uint32), w.view(np.uint32))
 
 
-_device_exact_cache: Dict[Tuple[str, float], bool] = {}
+def conversion_table(divisor: np.float32) -> np.ndarray:
+    """Exact device conversion as data: ``table[i + 32768] =
+    (f32(i)/32768)/divisor`` computed with the HOST's own float32 ops for
+    every possible int16 sample.  The device reproduces the pipeline's
+    floats with a gather — bit-exact on any backend BY CONSTRUCTION,
+    where computing the division on-device is not (TPU f32 division is
+    reciprocal-based and fails bitwise for many divisors; measured on the
+    driver backend, which silently forced float32 transport before this).
+    256 KB, uploaded once per (divisor, process) and reused by every
+    chunk program."""
+    vals = np.arange(-32768, 32768, dtype=np.float32) / _F32_32768
+    return vals / np.float32(divisor)
+
+
+_device_exact_cache: Dict[str, bool] = {}
 
 
 def device_conversion_exact(divisor: np.float32) -> bool:
-    """Prove the device computes ``(i16→f32 / 32768) / divisor`` bitwise
-    identically to the host for EVERY possible int16 value (one 64 K-point
-    round trip per (backend, divisor), cached).  XLA may lower division as
-    reciprocal+refinement on some backends, so exactness is checked, not
-    assumed."""
+    """Prove the device's table gather returns host bit patterns verbatim
+    (one 64 K-point round trip per backend, cached — gather exactness does
+    not depend on the divisor)."""
     import jax
     import jax.numpy as jnp
 
-    key = (jax.default_backend(), float(divisor))
+    key = jax.default_backend()
     hit = _device_exact_cache.get(key)
     if hit is not None:
         return hit
     vals = np.arange(-32768, 32768, dtype=np.int16)
-    host = (vals.astype(np.float32) / _F32_32768) / divisor
+    host = conversion_table(np.float32(divisor))
     try:
         dev = np.asarray(jax.jit(convert_on_device)(
-            jnp.asarray(vals), jnp.float32(divisor)))
+            jnp.asarray(vals), jnp.asarray(host)))
         ok = np.array_equal(dev.view(np.uint32), host.view(np.uint32))
     except Exception:
         ok = False
-    if len(_device_exact_cache) > 64:
-        _device_exact_cache.clear()
     _device_exact_cache[key] = ok
     return ok
 
 
-def convert_on_device(i16, divisor):
-    """The device-side inverse: int16 chunk → the pipeline's float32.
-    Jit-able; called inside the per-bucket conversion programs."""
+def convert_on_device(i16, table):
+    """The device-side inverse: int16 chunk → the pipeline's float32 via
+    the 64 K-entry lookup table (see :func:`conversion_table`).  Jit-able;
+    called inside the per-bucket conversion programs."""
     import jax.numpy as jnp
 
-    return (i16.astype(jnp.float32) / 32768.0) / divisor
+    return jnp.take(table, i16.astype(jnp.int32) + 32768)

@@ -238,6 +238,7 @@ class NeuralAudioTokenizer:
         self._forward_cache: Dict[Any, Any] = {}
         self._decode_jit = None  # jitted decode_tokens (lazy)
         self._pcm16_cvt = None   # jitted int16-wire converter (lazy)
+        self._pcm16_table_cache: Dict[Any, Any] = {}  # device conv tables
         self._needs_audio_seeding = False
         self._rng = jax.random.PRNGKey(seed)
         self._device_lock = threading.RLock()
@@ -982,16 +983,39 @@ class NeuralAudioTokenizer:
             return None
         return rec
 
+    def _pcm16_table(self, pcm_divisor, mesh=None):
+        """Device-resident conversion table for one divisor (dsp/pcm.py
+        conversion_table), uploaded once per (divisor, mesh) and reused by
+        every chunk program — the gather reproduces host float32 bitwise
+        on any backend."""
+        from ..dsp import pcm
+
+        key = (float(pcm_divisor),
+               None if mesh is None else tuple(sorted(mesh.shape.items())))
+        table = self._pcm16_table_cache.get(key)
+        if table is None:
+            host = pcm.conversion_table(np.float32(pcm_divisor))
+            if mesh is None:
+                table = jax.device_put(host)
+            else:
+                from ..parallel.mesh import replicated
+
+                table = jax.device_put(host, replicated(mesh))
+            if len(self._pcm16_table_cache) > 32:
+                self._pcm16_table_cache.clear()
+            self._pcm16_table_cache[key] = table
+        return table
+
     def _to_device_f32(self, chunk: np.ndarray, pcm_divisor):
         """Upload one prepared chunk; int16 wire chunks are converted to
-        the pipeline's exact float32 by a tiny device program."""
+        the pipeline's exact float32 by a tiny device gather program."""
         dev = jnp.asarray(chunk)
         if chunk.dtype == np.int16:
             from ..dsp import pcm
 
             if self._pcm16_cvt is None:
                 self._pcm16_cvt = jax.jit(pcm.convert_on_device)
-            dev = self._pcm16_cvt(dev, jnp.float32(pcm_divisor))
+            dev = self._pcm16_cvt(dev, self._pcm16_table(pcm_divisor))
         return dev
 
     @_locked
@@ -1057,7 +1081,8 @@ class NeuralAudioTokenizer:
 
                 if self._pcm16_cvt is None:
                     self._pcm16_cvt = jax.jit(pcm.convert_on_device)
-                dev = self._pcm16_cvt(dev, jnp.float32(pcm_divisor))
+                dev = self._pcm16_cvt(dev,
+                                      self._pcm16_table(pcm_divisor, mesh))
             rng = jax.device_put(rng, replicated(mesh))
             # Sharded dispatch must bypass the AOT executable cache: its
             # entries are keyed/compiled from shape-only avals, so a
