@@ -205,6 +205,12 @@ Examples:
              "local HF cache and exit. Default set: wav2vec2-base, "
              "MERT-v1-95M, encodec_24khz; or a comma-separated repo list. "
              "Honors HF_ENDPOINT.")
+    parser.add_argument(
+        "--fetch-on-demand", action="store_true",
+        help="Download missing checkpoints automatically before "
+             "tokenizing (the reference's first-run behavior). Default "
+             "is offline-first: missing checkpoints degrade to fallback "
+             "encoders with a warning naming `nat --fetch`.")
 
     # Logging
     parser.add_argument("--log-level", choices=["DEBUG", "INFO", "WARN", "ERROR"],
@@ -362,6 +368,31 @@ def main(argv: Optional[List[str]] = None) -> int:
         for name, path in fetched.items():
             logger.stdout(f"{name}\t{path}")
         return 0
+
+    # Opt-in first-run auto-provisioning (reference behavior, 2320-2335/
+    # 1988): fetch whatever the requested configuration needs and is not
+    # already local, then proceed.  Failure degrades exactly like an
+    # offline run — fallback encoders plus the usual warning.
+    if args.fetch_on_demand and not args.compat_fallback:
+        from .io.fetch import FetchError, fetch_models
+        from .quant.checkpoint_io import find_local_checkpoint
+
+        wanted = ["facebook/wav2vec2-base"]
+        if args.codebook_init == "mert":
+            wanted.append("m-a-p/MERT-v1-95M")
+        if (args.codebook_init in ("encodec", "encodec-kmeans")
+                or args.use_encodec):
+            wanted.append(args.encodec_model)
+        missing = [m for m in wanted if find_local_checkpoint(m) is None]
+        if missing:
+            logger.info("--fetch-on-demand: provisioning "
+                        + ", ".join(missing))
+            try:
+                fetch_models(missing)
+            except FetchError as exc:
+                logger.warn(f"--fetch-on-demand could not provision "
+                            f"{', '.join(missing)} ({exc}); continuing "
+                            "with fallback encoders")
 
     # Cheap flag validation BEFORE the (expensive) pipeline construction.
     if args.prewarm is not None:

@@ -152,3 +152,97 @@ class TestFetchCli:
         rc, out, err = cli(["--fetch", "acme/tiny-model"], extra_env=env)
         assert rc == 1
         assert "offline" in err
+
+
+_TINY_NEURAL_FLAGS = [
+    "--codebook-size", "64", "--semantic-dim", "64", "--acoustic-dim", "64",
+    "--n-mels", "32", "--no-reconstruction", "--no-codebook-cache",
+    "--codebook-init", "random", "-v",
+]
+
+
+@pytest.mark.slow
+class TestFetchOnDemand:
+    """--fetch-on-demand: opt-in first-run auto-provisioning (the
+    reference downloads checkpoints implicitly on first use, 2320-2335;
+    nat-tpu keeps offline-first as the default)."""
+
+    def test_offline_degrades_with_warning(self, cli, tmp_path):
+        env = {"HF_ENDPOINT": "http://127.0.0.1:9",
+               "HF_HOME": str(tmp_path / "hf")}
+        rc, out, err = cli(
+            ["--fetch-on-demand", *_TINY_NEURAL_FLAGS,
+             "tests/fixtures/test_simple.wav"],
+            extra_env=env, timeout=420)
+        assert rc == 0, err[-500:]
+        lines = [json.loads(l) for l in out.splitlines()]
+        assert lines[0]["event"] == "header"
+        assert lines[-1]["event"] == "end"
+        assert "--fetch-on-demand could not provision" in err
+
+    def test_provisions_missing_then_runs(self, cli, tmp_path):
+        """With a reachable endpoint, the missing wav2vec2 repo is fetched
+        (sha256-verified) before tokenization; the run itself proceeds
+        regardless of whether the tiny synthetic checkpoint converts."""
+        weights = _safetensors_bytes(
+            {"encoder.weight": np.arange(8, dtype=np.float32).reshape(2, 4)})
+        sha = hashlib.sha256(weights).hexdigest()
+        pointer = (f"version https://git-lfs.github.com/spec/v1\n"
+                   f"oid sha256:{sha}\nsize {len(weights)}\n").encode()
+        config = json.dumps({"model_type": "wav2vec2"}).encode()
+        routes = {
+            "/facebook/wav2vec2-base/raw/main/model.safetensors":
+                lambda: pointer,
+            "/facebook/wav2vec2-base/resolve/main/model.safetensors":
+                lambda: weights,
+            "/facebook/wav2vec2-base/raw/main/config.json": lambda: config,
+            "/facebook/wav2vec2-base/resolve/main/config.json":
+                lambda: config,
+        }
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                body_fn = routes.get(self.path)
+                if body_fn is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = body_fn()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            env = {"HF_ENDPOINT":
+                   f"http://127.0.0.1:{srv.server_address[1]}",
+                   "HF_HOME": str(tmp_path / "hf")}
+            rc, out, err = cli(
+                ["--fetch-on-demand", *_TINY_NEURAL_FLAGS,
+                 "tests/fixtures/test_simple.wav"],
+                extra_env=env, timeout=420)
+            assert rc == 0, err[-500:]
+            assert "provisioning facebook/wav2vec2-base" in err
+            assert "sha256 verified" in err
+            installed = list((tmp_path / "hf").rglob("model.safetensors"))
+            assert installed, "checkpoint not installed into HF_HOME"
+            lines = [json.loads(l) for l in out.splitlines()]
+            assert lines[0]["event"] == "header"
+            assert lines[-1]["event"] == "end"
+        finally:
+            srv.shutdown()
+
+    def test_no_fetch_when_local(self, cli, tmp_path, repo_server):
+        """Nothing missing -> no provisioning traffic, no warning."""
+        env = {"HF_ENDPOINT": "http://127.0.0.1:9",
+               "HF_HOME": str(tmp_path / "hf")}
+        rc, out, err = cli(
+            ["--fetch-on-demand", "--compat-fallback", "-v",
+             "tests/fixtures/test_simple.wav"], extra_env=env)
+        assert rc == 0
+        assert "fetch-on-demand" not in err
