@@ -47,7 +47,9 @@ def recover_pcm16(wave: np.ndarray) -> Optional[Tuple[np.ndarray, np.float32]]:
     if not (0.0 < amax <= 1.0) or not np.isfinite(amax):
         return None
     flat = wave.reshape(-1)
-    stride = max(1, flat.size // _PROBE)
+    # Ceil stride so the probe SPANS the array (a floor stride degenerates
+    # to a prefix for sizes in (64K, 128K), missing e.g. leading silence).
+    stride = -(-flat.size // _PROBE)
     probe = np.ascontiguousarray(flat[::stride][:_PROBE])
 
     # Fast path: un-normalized PCM16 (e.g. --stream-stdin skips global
@@ -77,7 +79,10 @@ def recover_pcm16(wave: np.ndarray) -> Optional[Tuple[np.ndarray, np.float32]]:
     pabs = np.abs(probe.astype(np.float64))
     nz = pabs[pabs > 0]
     if nz.size == 0:
-        return None
+        # Strided probe landed only on silence (amax > 0 guarantees a
+        # nonzero exists somewhere): take references from the full array.
+        fabs = np.abs(flat.astype(np.float64))
+        nz = fabs[fabs > 0]
     refs = np.unique(np.quantile(nz, [0.0, 0.5, 1.0], method="nearest"))
     alive = np.ones(m_all.size, dtype=bool)
     for w_ref in refs:
@@ -145,7 +150,7 @@ def verify_hint(wave: np.ndarray, i16: np.ndarray,
     d = np.float32(divisor)
     if not (d > 0) or not np.isfinite(d):
         return False
-    stride = max(1, flat_w.size // _PROBE)
+    stride = -(-flat_w.size // _PROBE)
     w = flat_w[::stride][:_PROBE]
     i = flat_i[::stride][:_PROBE]
     rebuilt = (i.astype(np.float32) / _F32_32768) / d

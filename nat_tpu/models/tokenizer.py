@@ -898,7 +898,7 @@ class NeuralAudioTokenizer:
                     try:
                         v.copy_to_host_async()
                     except Exception:
-                        return
+                        continue
 
     def _stream_group_size(self) -> int:
         """Spans per batched dispatch on the chunked streaming path.

@@ -608,11 +608,17 @@ class TokenServer:
                 # span-by-span and co-batch through the SpanBatcher
                 # instead of serializing whole-file under a coarse lock.
                 for idx, path in enumerate(temp_files):
-                    audio, sr = session.load_audio(path)
+                    # _load_audio_ex output is already peak-normalized and
+                    # carries the int16 sidecar hint — normalize=False keeps
+                    # the served bytes identical to the CLI --stdin path
+                    # (a second normalize bitwise-changes quiet audio) and
+                    # the hint skips the full PCM16 recovery scan.
+                    audio, sr, hint = session._load_audio_ex(path)
                     session.stream_audio_array(
                         audio, sr, write,
                         label="<payload>" if len(temp_files) == 1
-                        else f"<payload#{idx}>")
+                        else f"<payload#{idx}>",
+                        pcm16_hint=hint, normalize=False)
                 return
             # Compat tokenizer: host-side single-shot, no span interface;
             # whole-file processing stays under the coarse lock.

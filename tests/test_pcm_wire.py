@@ -36,6 +36,22 @@ def test_recover_leading_silence_and_peak():
     np.testing.assert_array_equal(rec[0][0], i16)
 
 
+def test_recover_silent_probe_prefix_regression():
+    """Sizes in (64K, 128K) used to probe only a PREFIX (floor stride=1):
+    a file starting with >64K samples of silence returned None even though
+    it was PCM16-derived.  The ceil stride makes the probe span the array;
+    the full-array reference fallback covers strided probes that still
+    land only on silence."""
+    rng = np.random.default_rng(6)
+    i16 = np.concatenate([
+        np.zeros(70000, np.int16),                          # > _PROBE zeros
+        (rng.standard_normal(30000) * 800).astype(np.int16),
+    ])
+    rec = pcm.recover_pcm16(_pcm16_chain(i16)[None, :])
+    assert rec is not None
+    np.testing.assert_array_equal(rec[0][0], i16)
+
+
 def test_recover_rejects_non_pcm_sources():
     rng = np.random.default_rng(5)
     assert pcm.recover_pcm16(

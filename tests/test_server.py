@@ -780,6 +780,45 @@ class TestTokenServer:
             solo = _client(server.bound_address, payloads[i])
             assert _drop_end(results[i]) == _drop_end(solo), f"client {i}"
 
+    def test_buffered_serving_matches_cli_stdin_path(self, pipeline, server,
+                                                     tmp_path):
+        """Served buffered payloads must match the CLI --stdin path on the
+        same bytes: load_audio peak-normalizes once, and the server must
+        NOT normalize again (a second divide bitwise-changes every
+        below-full-scale sample → different audio_sha256 and potentially
+        different tokens).  Regression test for the round-4 double-
+        normalize bug on _serve_buffered → stream_audio_array."""
+        rng = np.random.default_rng(23)
+        # Quiet payload: peak |i16| far below full scale, so any second
+        # normalize changes bit patterns.  Avoid 0x1C bytes (ASCII FS):
+        # the wire protocol splits on them, so the raw samples must not
+        # contain any or the server sees multiple files.
+        samples = (rng.standard_normal(4000) * 500).astype("<i2")
+        raw = samples.view(np.uint8).reshape(-1, 2)
+        samples[(raw == 0x1C).any(axis=1)] = 77
+        payload = samples.tobytes()
+        assert b"\x1c" not in payload
+        got = _client(server.bound_address, payload)
+
+        # CLI path on the same bytes: temp file → process_audio (buffered
+        # NDJSON emission, single normalize inside load_audio).
+        path = tmp_path / "quiet.raw"
+        path.write_bytes(payload)
+        result = pipeline.session().process_audio(
+            str(path), ndjson_streaming=True, want_features=False)
+        ref = result["ndjson_output"].splitlines()
+
+        got_hdr, ref_hdr = json.loads(got[0]), json.loads(ref[0])
+        got_meta = got_hdr.pop("metadata")
+        ref_meta = ref_hdr.pop("metadata")
+        got_meta.pop("file_path"), ref_meta.pop("file_path")
+        ref_meta.pop("device", None)  # process_audio adds device info
+        assert got_meta["audio_sha256"] == ref_meta["audio_sha256"]
+        assert got_hdr["audio_sha256"] == ref_hdr["audio_sha256"]
+        assert got_hdr == ref_hdr
+        # Frame lines byte-identical; end event carries wall-clock stats.
+        assert _drop_end(got)[1:] == _drop_end(ref)[1:]
+
     def test_buffered_path_skips_coarse_lock_for_neural(self, pipeline,
                                                         server):
         """While one buffered neural payload is mid-flight, a second must
