@@ -66,6 +66,11 @@ Examples:
                              "client streams audio bytes (FS-delimited "
                              "multi-file ok), half-closes, reads NDJSON "
                              "back; frames emit before EOF")
+    parser.add_argument("--health", metavar="ADDR",
+                        help="Probe a --serve daemon at ADDR and print its "
+                             "status JSON (uptime, connections, batching) "
+                             "to stdout; exit 0 when healthy. Works "
+                             "without the NAT_TPU_SERVE_AUTH token")
     parser.add_argument("--decode-tokens", action="store_true",
                         help="Inverse mode: treat inputs as lam_audio_tokens "
                              "NDJSON streams and decode them back to audio "
@@ -431,6 +436,22 @@ def main(argv: Optional[List[str]] = None) -> int:
             parse_address(args.serve)
         except ValueError as exc:
             parser.error(str(exc))
+    if args.health:
+        # Standalone ops probe: no pipeline, no jax — must answer fast and
+        # from any box that can reach the daemon socket.
+        if (args.input_files or args.stdin or args.stream_stdin
+                or args.batch or args.decode_tokens or args.serve):
+            parser.error("--health is a standalone probe (no inputs or "
+                         "other modes)")
+        from .client import health as probe_health
+
+        try:
+            status = probe_health(args.health)
+        except (OSError, ValueError) as exc:
+            logger.error(f"health probe failed: {exc}")
+            return 1
+        logger.stdout(json.dumps(status))
+        return 0 if status.get("status") == "ok" else 1
 
     # Model configuration: config file < CLI flags.
     model_config: Dict = {}

@@ -25,6 +25,7 @@ Example::
 from __future__ import annotations
 
 import json
+import os
 import socket
 import threading
 from typing import IO, Iterator, List, Optional, Union
@@ -38,11 +39,20 @@ FS = b"\x1c"
 
 
 class TokenClient:
-    """Thin, dependency-free client for the ``--serve`` daemon."""
+    """Thin, dependency-free client for the ``--serve`` daemon.
 
-    def __init__(self, address: str, connect_timeout: float = 30.0) -> None:
+    ``auth`` is the daemon's shared secret when it runs with
+    ``NAT_TPU_SERVE_AUTH`` set — sent as an ``AUTH <token>\\n`` line
+    ahead of the audio payload (defaults to the client's own
+    ``NAT_TPU_SERVE_AUTH`` environment)."""
+
+    def __init__(self, address: str, connect_timeout: float = 30.0,
+                 auth: Optional[str] = None) -> None:
         self.family, self.addr = parse_address(address)
         self.connect_timeout = connect_timeout
+        if auth is None:
+            auth = os.environ.get("NAT_TPU_SERVE_AUTH") or None
+        self.auth = auth
 
     # ------------------------------------------------------------------
     def _connect(self) -> socket.socket:
@@ -66,6 +76,8 @@ class TokenClient:
 
         def upload() -> None:
             try:
+                if self.auth:
+                    conn.sendall(b"AUTH " + self.auth.encode() + b"\n")
                 if isinstance(source, (bytes, bytearray, memoryview)):
                     conn.sendall(source)
                 else:
@@ -162,3 +174,32 @@ def healthcheck(address: str, timeout: float = 5.0) -> bool:
     except OSError:
         pass
     return True
+
+
+def health(address: str, timeout: float = 5.0) -> dict:
+    """Rich daemon status via the in-band ``HEALTH`` probe: uptime, active
+    and total connections, batching counters, compat/auth flags.  Raises
+    ``OSError`` if the daemon is unreachable, ``ValueError`` on a
+    malformed response.  Works without the auth token by design."""
+    client = TokenClient(address, connect_timeout=timeout, auth=None)
+    conn = client._connect()
+    conn.settimeout(timeout)
+    try:
+        conn.sendall(b"HEALTH\n")
+        conn.shutdown(socket.SHUT_WR)
+        buf = b""
+        while True:
+            got = conn.recv(1 << 16)
+            if not got:
+                break
+            buf += got
+    finally:
+        conn.close()
+    line = buf.strip().split(b"\n")[0]
+    if not line:
+        raise ValueError("daemon closed the health probe without a status "
+                         "line (pre-health daemon version?)")
+    status = json.loads(line)
+    if status.get("event") != "health":
+        raise ValueError(f"unexpected health response: {status}")
+    return status

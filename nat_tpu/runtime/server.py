@@ -33,6 +33,8 @@ the wire protocol matches reference stdin semantics
 
 from __future__ import annotations
 
+import hmac
+import json
 import os
 import socket
 import threading
@@ -337,11 +339,13 @@ class TokenServer:
         if max_connections is None:
             max_connections = int(
                 os.environ.get("NAT_TPU_SERVE_MAX_CONNS", "32"))
-        self._slots = threading.Semaphore(max(1, max_connections))
+        self.max_connections = max(1, max_connections)
+        self._slots = threading.Semaphore(self.max_connections)
         self._closed = threading.Event()
         self._conn_seq = 0
         self._active = 0
         self._active_cv = threading.Condition()
+        self._started = time.monotonic()
 
         if self.family == "unix":
             # A previous daemon's stale socket file would make bind fail;
@@ -571,9 +575,54 @@ class TokenServer:
                 self._active -= 1
                 self._active_cv.notify_all()
 
+    def _health_status(self) -> dict:
+        """Operational status for the ``HEALTH`` in-band probe (one NDJSON
+        line; contains no payload data, so it is served unauthenticated)."""
+        from ..version import VERSION
+
+        status = {
+            "event": "health",
+            "status": "ok",
+            "version": VERSION,
+            "uptime_s": round(time.monotonic() - self._started, 3),
+            # This probe's own connection holds a slot; report the others.
+            "active_connections": max(0, self._active - 1),
+            "connections_total": self._conn_seq,
+            "max_connections": self.max_connections,
+            "compat_mode": bool(getattr(self.pipeline, "compat_mode",
+                                        False)),
+            "auth_required": bool(os.environ.get("NAT_TPU_SERVE_AUTH")),
+        }
+        if self._batcher is not None:
+            status["batching"] = dict(self._batcher.stats,
+                                      max_group=self._batcher.max_group)
+        if self.mesh is not None:
+            status["mesh"] = dict(self.mesh.shape)
+        return status
+
+    @staticmethod
+    def _split_line(head: bytes, rfile, max_line: int = 4096
+                    ) -> Tuple[bytes, bytes]:
+        """First line (sans newline) of ``head`` + the remainder, reading
+        more from ``rfile`` if the sniffed block ended mid-line.  Bounded:
+        a binary payload with no early newline (an unauthenticated client
+        sending raw audio) must not make the server buffer it all hunting
+        for one — past ``max_line`` bytes the whole head is "the line"
+        (which can never equal a valid AUTH line)."""
+        while b"\n" not in head and len(head) < max_line:
+            more = rfile.read(1 << 12)
+            if not more:
+                return head, b""
+            head += more
+        if b"\n" not in head:
+            return head, b""
+        line, _, rest = head.partition(b"\n")
+        return line, rest
+
     def _serve_stream(self, rfile, write, cid: int) -> None:
-        """One connection = one stdin-daemon session: sniff, then stream
-        incrementally or fall back to buffered tokenization."""
+        """One connection = one stdin-daemon session: sniff, answer health
+        probes, enforce opt-in auth, then stream incrementally or fall
+        back to buffered tokenization."""
         from ..io.stream_reader import (PrefixedStream, make_stream_reader,
                                         read_sniff)
 
@@ -583,6 +632,31 @@ class TokenServer:
         if not head:
             logger.debug(f"conn#{cid}: empty payload")
             return
+        # In-band health probe: HEALTH (+optional newline) -> one status
+        # line.  No audio container starts with these bytes, and the probe
+        # must work without the auth token (monitoring shouldn't hold
+        # tokenization credentials).
+        if head.startswith(b"HEALTH"):
+            write(json.dumps(self._health_status()))
+            return
+        expected = os.environ.get("NAT_TPU_SERVE_AUTH", "")
+        if expected:
+            line, head = self._split_line(head, rfile)
+            if not hmac.compare_digest(line, b"AUTH " + expected.encode()):
+                logger.warn(f"conn#{cid}: rejected (bad or missing auth)")
+                write(json.dumps({
+                    "event": "error",
+                    "error": "authentication required: send "
+                             "'AUTH <token>\\n' before the audio payload"}))
+                return
+            if not head:
+                head = read_sniff(rfile)
+                if not head:
+                    logger.debug(f"conn#{cid}: empty payload after auth")
+                    return
+            if head.startswith(b"HEALTH"):
+                write(json.dumps(self._health_status()))
+                return
         session = self.pipeline.session()
         session.span_executor = self._batcher
         if (make_stream_reader(head.lstrip(b"\x1c")) is not None
@@ -590,7 +664,30 @@ class TokenServer:
             session.stream_stdin(PrefixedStream(head, rfile), write)
             return
         logger.debug(f"conn#{cid}: not incrementally decodable; buffering")
-        self._serve_buffered(session, head + rfile.read(), write)
+        # Backpressure: buffered (non-incremental) payloads materialize in
+        # host RAM before decode; cap them so one client can't OOM the
+        # daemon.  Streaming formats are exempt — they process span-by-span
+        # with the socket buffer as natural backpressure.
+        max_mb = float(os.environ.get("NAT_TPU_SERVE_MAX_BUFFER_MB", "256"))
+        cap = int(max_mb * 1_000_000)
+        payload = bytearray(head)
+        while len(payload) <= cap:
+            block = rfile.read(min(1 << 20, cap - len(payload) + 1))
+            if not block:
+                break
+            payload += block
+        if len(payload) > cap:
+            logger.warn(f"conn#{cid}: buffered payload exceeds "
+                        f"{max_mb:g} MB cap; rejecting")
+            write(json.dumps({
+                "event": "error",
+                "error": f"buffered payload exceeds the "
+                         f"{max_mb:g} MB server cap "
+                         f"(NAT_TPU_SERVE_MAX_BUFFER_MB); send an "
+                         f"incrementally decodable container (WAV/AIFF/"
+                         f"AU/FLAC/MP3/OGG) to stream without buffering"}))
+            return
+        self._serve_buffered(session, bytes(payload), write)
 
     def _serve_buffered(self, session, payload: bytes, write) -> None:
         from ..io.stdinio import (chunks_to_temp_files, cleanup_temp_files,
