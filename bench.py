@@ -115,6 +115,7 @@ def main() -> None:
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 100.0, 3),
     }
+    record.update(_forward_mfu(forward, tok, wave, key, iters, best))
     # Keep the watchdog's fallback current: if a LATER phase (e2e/serve)
     # hangs on a dead backend, the watchdog prints the already-measured
     # forward record instead of clobbering it with a value-0 error.
@@ -126,7 +127,52 @@ def main() -> None:
     _PARTIAL["serve_error"] = "watchdog fired during serve phase"
     record.update(_bench_serve(time.time() - t_start, pipe))
     _PARTIAL.clear()
+    _PARTIAL.update(record)
+    _PARTIAL["rle_error"] = "watchdog fired during rle phase"
+    record.update(_bench_rle(time.time() - t_start))
+    _PARTIAL.clear()
     print(json.dumps(record))
+
+
+def _forward_mfu(forward, tok, wave, key, iters: int, best_s: float) -> dict:
+    """Model-FLOPs-utilization for the measured forward program (VERDICT
+    r4 #5): XLA's own post-optimization FLOP count for ONE compiled call
+    (``compiled.cost_analysis()['flops']`` — the auditable source: it
+    counts the program actually executed, not a hand model), times the
+    measured iterations, over the measured best wall time, against the
+    chip's peak.  Peak defaults by device kind (TPU v5 lite / v5e =
+    197 TFLOP/s bf16 — the model computes in bfloat16 on accelerators);
+    NAT_TPU_PEAK_FLOPS overrides for other parts.  Best-effort: backends
+    without cost analysis just omit the key."""
+    import os
+
+    import jax
+
+    try:
+        compiled = forward.lower(tok.params, tok.sem_rvq, tok.acc_rvq,
+                                 wave, key).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):   # older jax: one dict/device
+            cost = cost[0]
+        flops = float(cost["flops"])
+        if not flops > 0:
+            return {}
+        kind = jax.devices()[0].device_kind.lower()
+        peaks = {
+            "tpu v5 lite": 197e12,   # v5e bf16 peak (public spec)
+            "tpu v5litepod": 197e12,
+            "tpu v5": 459e12,        # v5p bf16
+            "tpu v4": 275e12,
+            "tpu v6 lite": 918e12,   # v6e (Trillium) bf16
+        }
+        peak = float(os.environ.get("NAT_TPU_PEAK_FLOPS", 0)) or next(
+            (v for k, v in peaks.items() if kind.startswith(k)), 197e12)
+        return {
+            "forward_mfu": round(flops * iters / best_s / peak, 4),
+            "forward_tflops_per_call": round(flops / 1e12, 3),
+        }
+    except Exception as exc:
+        return {"forward_mfu_error": f"{type(exc).__name__}: {exc}"}
 
 
 def _start_outage_watchdog(budget_s: float = 3000.0) -> None:
@@ -257,6 +303,7 @@ def _bench_e2e_stream(spent_seconds: float, budget: float = 1500.0):
             "e2e_median_x_realtime": round(
                 seconds / float(np.median(elapsed_runs)), 2),
             "e2e_attempts": len(elapsed_runs),
+            "e2e_runs_s": [round(e, 2) for e in elapsed_runs],
         }
         if np.isfinite(first_frame):
             out["e2e_first_frame_s"] = round(first_frame, 3)
@@ -331,9 +378,24 @@ def _bench_serve(spent_seconds: float, pipe, budget: float = 2400.0) -> dict:
                     th.start()
                 for th in warm:
                     th.join()
+                # Attempt policy (VERDICT r4 #3): record EVERY attempt's
+                # wall time and per-attempt batcher deltas, and keep
+                # attempting while the spread (max/min) exceeds 2x and
+                # budget remains — so a single degraded attempt can't
+                # silently dominate the median, and a slow outlier is
+                # attributable (batcher stall would show in its deltas;
+                # unchanged deltas + slow wall = backend/tunnel).
                 elapsed_runs = []
-                deadline = time.time() + 180.0
-                for attempt in range(4):
+                attempt_stats = []
+                deadline = time.time() + 240.0
+                total_audio = seconds * clients
+
+                def batcher_stats() -> dict:
+                    return (dict(srv._batcher.stats)
+                            if srv._batcher is not None else {})
+
+                prev = batcher_stats()
+                for attempt in range(8):
                     threads = [threading.Thread(target=client,
                                                 args=(sock_path, p))
                                for p in payloads]
@@ -343,15 +405,18 @@ def _bench_serve(spent_seconds: float, pipe, budget: float = 2400.0) -> dict:
                     for th in threads:
                         th.join()
                     elapsed_runs.append(time.perf_counter() - start)
-                    total_audio = seconds * clients
-                    if total_audio / min(elapsed_runs) > 150.0:
-                        break   # target met in a healthy window
+                    cur = batcher_stats()
+                    attempt_stats.append(
+                        {k: cur.get(k, 0) - prev.get(k, 0) for k in cur})
+                    prev = cur
+                    spread = max(elapsed_runs) / min(elapsed_runs)
+                    if (total_audio / min(elapsed_runs) > 150.0
+                            and len(elapsed_runs) >= 2 and spread <= 2.0):
+                        break   # target met and typical-case established
                     if time.time() > deadline:
                         break
                     time.sleep(5)
-                stats = (dict(srv._batcher.stats)
-                         if srv._batcher is not None else None)
-        total_audio = seconds * clients
+                stats = batcher_stats()
         out = {
             "serve_aggregate_x_realtime": round(
                 total_audio / min(elapsed_runs), 2),
@@ -359,6 +424,8 @@ def _bench_serve(spent_seconds: float, pipe, budget: float = 2400.0) -> dict:
                 total_audio / float(np.median(elapsed_runs)), 2),
             "serve_clients": clients,
             "serve_attempts": len(elapsed_runs),
+            "serve_runs_s": [round(e, 2) for e in elapsed_runs],
+            "serve_attempt_batcher": attempt_stats,
         }
         if stats:
             out["serve_batcher"] = stats
@@ -366,6 +433,86 @@ def _bench_serve(spent_seconds: float, pipe, budget: float = 2400.0) -> dict:
     except Exception as exc:
         return {"serve_aggregate_x_realtime": 0.0,
                 "serve_error": f"{type(exc).__name__}: {exc}"}
+
+
+def _bench_rle(spent_seconds: float, budget: float = 2700.0) -> dict:
+    """Realistic-token-statistics benchmark (VERDICT r4 #4): codebooks
+    k-means-seeded from the bench audio's OWN encoder features
+    (``codebook_init_method='kmeans'`` — real, non-collapsed diversity,
+    no network needed), streamed in ``--rle`` mode, so the RLE hot path
+    (reference neural_audio_tokenizer.py:2775-2836,4414-4450) is measured
+    at a real token change-rate instead of the random-init stream whose
+    near-constant tokens make RLE artificially cheap.  Reports the RLE
+    e2e throughput plus the measured per-frame diversity (dense [L, T]
+    reconstruction via the stream reader — the same unique/total measure
+    the pipeline's collapse WARN uses)."""
+    import os
+    import tempfile
+
+    if os.environ.get("NAT_TPU_BENCH_RLE") == "0":
+        return {"rle_error": "disabled (NAT_TPU_BENCH_RLE=0)"}
+    if spent_seconds > budget:
+        return {"rle_error": f"skipped (prior phases took "
+                             f"{spent_seconds:.0f}s > {budget:.0f}s budget)"}
+    try:
+        from nat_tpu.io.audio import write_wav
+        from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
+        from nat_tpu.stream.reader import parse_ndjson_stream
+
+        sr = 22050
+        seconds = 300.0
+        pipe = AudioTokenizationPipeline(
+            model_config={"codebook_size": 4096,
+                          "semantic_arch": "wav2vec2"},
+            enable_reconstruction=False,
+            codebook_init_method="kmeans",
+            enable_codebook_cache=False,
+            rle_mode=True,
+        )
+        if pipe.compat_mode:
+            return {"rle_error": "neural path unavailable"}
+        # Tonally-varied content (chirps + AM + noise floor): constant
+        # sines would quantize to near-constant tokens no matter how the
+        # codebooks are seeded, hiding the RLE change-rate cost again.
+        rng = np.random.default_rng(1)
+        t = np.arange(int(sr * seconds)) / sr
+        f0 = 110.0 * 2 ** ((t % 20.0) / 4.0)            # 5-octave sweep/20 s
+        x = (0.4 * np.sin(2 * np.pi * f0 * t)
+             * (0.6 + 0.4 * np.sin(2 * np.pi * 1.3 * t))
+             + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
+        with tempfile.TemporaryDirectory() as tmp:
+            path = os.path.join(tmp, "bench_rle.wav")
+            write_wav(path, x, sr)
+            # Warm pass: seeds the codebooks (k-means over this audio's
+            # features) + compiles; captured for the diversity figure.
+            lines: list = []
+            pipe.stream_audio(path, lines.append)
+            stream = parse_ndjson_stream("\n".join(lines))
+            div = {}
+            for name, mat in (("semantic", stream.semantic),
+                              ("acoustic", stream.acoustic)):
+                flat = np.asarray(mat).ravel()
+                div[name] = (len(np.unique(flat)) / flat.size
+                             if flat.size else 0.0)
+            elapsed_runs = []
+            rle_deadline = time.time() + 180.0
+            for attempt in range(4):
+                start = time.perf_counter()
+                pipe.stream_audio(path, lambda line: None)
+                elapsed_runs.append(time.perf_counter() - start)
+                if seconds / min(elapsed_runs) > 200.0:
+                    break
+                if time.time() > rle_deadline:
+                    break
+                time.sleep(8)
+        return {
+            "rle_e2e_x_realtime": round(seconds / min(elapsed_runs), 2),
+            "rle_runs_s": [round(e, 2) for e in elapsed_runs],
+            "rle_semantic_diversity": round(div["semantic"], 3),
+            "rle_acoustic_diversity": round(div["acoustic"], 3),
+        }
+    except Exception as exc:
+        return {"rle_error": f"{type(exc).__name__}: {exc}"}
 
 
 if __name__ == "__main__":

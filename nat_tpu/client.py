@@ -139,13 +139,21 @@ class TokenClient:
                 payloads.append(bytes(src))
         events: List[dict] = []
         streams: List[TokenStream] = []
+        errors: List[str] = []
         for event in self.stream(FS.join(payloads)):
+            if event.get("event") == "error":
+                # Keep the daemon's own reason (auth rejection, buffer-cap
+                # rejection, decode failure) for the exception below — a
+                # bare count hides the actionable message (ADVICE r4).
+                errors.append(str(event.get("error", event)))
             events.append(event)
             if event.get("event") == "end":
                 streams.append(parse_events(events))
                 events = []
+        detail = ("; daemon reported: " + " | ".join(errors)
+                  if errors else "")
         if events:
-            raise ValueError("truncated stream: no end event")
+            raise ValueError(f"truncated stream: no end event{detail}")
         if len(streams) != len(sources):
             # A multi-file request where the daemon errored partway (e.g.
             # an undecodable middle file) returns fewer complete streams
@@ -154,7 +162,7 @@ class TokenClient:
             raise ValueError(
                 f"daemon returned {len(streams)} complete stream(s) for "
                 f"{len(sources)} source(s) (payload rejected or connection "
-                f"dropped partway)")
+                f"dropped partway){detail}")
         return streams
 
     def tokenize_file(self, path: str) -> TokenStream:

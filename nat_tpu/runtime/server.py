@@ -609,8 +609,14 @@ class TokenServer:
         sending raw audio) must not make the server buffer it all hunting
         for one — past ``max_line`` bytes the whole head is "the line"
         (which can never equal a valid AUTH line)."""
+        from ..io.stream_reader import _read_block
+
         while b"\n" not in head and len(head) < max_line:
-            more = rfile.read(1 << 12)
+            # First-available-block read (not a greedy .read(4096), which
+            # on a buffered socket file blocks until 4 KB accumulate — a
+            # trickling unauthenticated source would hold the connection
+            # slot until then; ADVICE r4).
+            more = _read_block(rfile, 1 << 12)
             if not more:
                 return head, b""
             head += more
@@ -640,6 +646,7 @@ class TokenServer:
             write(json.dumps(self._health_status()))
             return
         expected = os.environ.get("NAT_TPU_SERVE_AUTH", "")
+        consumed_auth = False
         if expected:
             line, head = self._split_line(head, rfile)
             if not hmac.compare_digest(line, b"AUTH " + expected.encode()):
@@ -649,11 +656,27 @@ class TokenServer:
                     "error": "authentication required: send "
                              "'AUTH <token>\\n' before the audio payload"}))
                 return
+            consumed_auth = True
+        elif head.startswith(b"AUTH "):
+            # Auth is disabled but the client sent a token anyway (e.g. a
+            # TokenClient whose environment sets NAT_TPU_SERVE_AUTH while
+            # the daemon's doesn't).  No audio container begins with these
+            # five bytes, so strip the line rather than feeding it into
+            # container sniffing as payload — where it would break decode
+            # or be reinterpreted as raw PCM (ADVICE r4, medium).
+            _, head = self._split_line(head, rfile)
+            consumed_auth = True
+        if consumed_auth:
+            # The AUTH line may have eaten most of the sniffed block: top
+            # the remainder back up to the sniff minimum so streamable
+            # containers don't silently degrade to the buffered path
+            # (ADVICE r4).  read_sniff replays ``head`` first, then reads
+            # only if it is still short.
+            if len(head.lstrip(b"\x1c")) < 64:
+                head = read_sniff(PrefixedStream(head, rfile))
             if not head:
-                head = read_sniff(rfile)
-                if not head:
-                    logger.debug(f"conn#{cid}: empty payload after auth")
-                    return
+                logger.debug(f"conn#{cid}: empty payload after auth")
+                return
             if head.startswith(b"HEALTH"):
                 write(json.dumps(self._health_status()))
                 return

@@ -857,3 +857,125 @@ class TestTokenServer:
             got = _client(srv.bound_address, payload)
             assert '"event":"end"' in got[-1]
             assert srv._batcher.stats["spans"] >= 1
+
+
+class TestServeAuth:
+    """Opt-in auth: token enforcement, and graceful handling of a
+    client/server auth-config mismatch (ADVICE r4: a stray AUTH line must
+    never be fed into container sniffing as audio payload)."""
+
+    @pytest.fixture(scope="class")
+    def pipeline(self):
+        from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
+
+        return AudioTokenizationPipeline(
+            sample_rate=8000,
+            model_config={"codebook_size": 64, "semantic_dim": 64,
+                          "acoustic_dim": 64, "n_mels": 32},
+            enable_reconstruction=False,
+            codebook_init_method="random",
+            enable_codebook_cache=False,
+        )
+
+    @pytest.fixture(scope="class")
+    def server(self, pipeline, tmp_path_factory):
+        from nat_tpu.runtime.server import TokenServer
+
+        sock = tmp_path_factory.mktemp("auth") / "nat.sock"
+        srv = TokenServer(pipeline, f"unix:{sock}")
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield srv
+        srv.close()
+        t.join(timeout=10)
+
+    def _reference_lines(self, pipeline, payload: bytes):
+        lines = []
+        pipeline.session().stream_stdin(io.BytesIO(payload), lines.append)
+        return lines
+
+    def test_missing_token_rejected_with_reason(self, pipeline, server,
+                                                monkeypatch):
+        from nat_tpu.client import TokenClient
+
+        monkeypatch.setenv("NAT_TPU_SERVE_AUTH", "sekrit")
+        # auth="" (not None): None would pick the monkeypatched env var up
+        # and authenticate — this test wants a tokenless client.
+        client = TokenClient(f"unix:{server.bound_address}", auth="")
+        with pytest.raises(ValueError) as exc:
+            client.tokenize(_wav_bytes())
+        # ADVICE r4: the daemon's own error text must reach the caller.
+        assert "authentication required" in str(exc.value)
+
+    def test_wrong_token_rejected(self, server, monkeypatch):
+        monkeypatch.setenv("NAT_TPU_SERVE_AUTH", "sekrit")
+        got = _client(server.bound_address,
+                      b"AUTH wrong\n" + _wav_bytes())
+        assert len(got) == 1
+        assert json.loads(got[0])["event"] == "error"
+
+    def test_correct_token_streams_identically(self, pipeline, server,
+                                               monkeypatch):
+        from nat_tpu.client import TokenClient
+
+        monkeypatch.setenv("NAT_TPU_SERVE_AUTH", "sekrit")
+        payload = _wav_bytes(freq=330.0)
+        client = TokenClient(f"unix:{server.bound_address}", auth="sekrit")
+        stream = client.tokenize(payload)[0]
+        ref = self._reference_lines(pipeline, payload)
+        ref_stream_events = [json.loads(ln) for ln in _drop_end(ref)]
+        from nat_tpu.stream.reader import parse_events
+        ref_stream = parse_events(ref_stream_events + [{"event": "end"}])
+        assert np.array_equal(stream.semantic, ref_stream.semantic)
+        assert np.array_equal(stream.acoustic, ref_stream.acoustic)
+
+    def test_stray_auth_line_stripped_when_auth_disabled(self, pipeline,
+                                                         server,
+                                                         monkeypatch):
+        """Client env has a token, daemon runs without auth: the AUTH line
+        must be stripped, not treated as payload bytes (ADVICE r4 medium)."""
+        monkeypatch.delenv("NAT_TPU_SERVE_AUTH", raising=False)
+        payload = _wav_bytes(freq=523.3)
+        got = _client(server.bound_address, b"AUTH leftover-token\n" + payload)
+        ref = self._reference_lines(pipeline, payload)
+        assert _drop_end(got) == _drop_end(ref)
+
+    def test_post_auth_short_remainder_still_streams(self, pipeline, server,
+                                                     monkeypatch):
+        """A long token eats most of the sniffed block: the remainder must
+        be topped back up to the sniff minimum so a streamable WAV does
+        not silently degrade to the buffered path (ADVICE r4)."""
+        from nat_tpu.runtime.server import TokenServer
+
+        token = "t" * 48
+        monkeypatch.setenv("NAT_TPU_SERVE_AUTH", token)
+        buffered_calls = []
+        orig = TokenServer._serve_buffered
+
+        def spy(self, *a, **kw):
+            buffered_calls.append(1)
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(TokenServer, "_serve_buffered", spy)
+        payload = _wav_bytes(freq=261.6)
+        conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        conn.connect(server.bound_address)
+        # First block: AUTH line + a sliver of the WAV header, then a
+        # pause so the server's first-available-block sniff sees ONLY
+        # this — the post-AUTH remainder (8 bytes) is below the sniff
+        # minimum and must be topped up, not mis-sniffed.
+        conn.sendall(b"AUTH " + token.encode() + b"\n" + payload[:8])
+        time.sleep(0.4)
+        conn.sendall(payload[8:])
+        conn.shutdown(socket.SHUT_WR)
+        buf = b""
+        while True:
+            got = conn.recv(1 << 16)
+            if not got:
+                break
+            buf += got
+        conn.close()
+        lines = [ln for ln in buf.decode().splitlines() if ln.strip()]
+        ref = self._reference_lines(pipeline, payload)
+        assert _drop_end(lines) == _drop_end(ref)
+        assert not buffered_calls, "streamable WAV degraded to buffered path"
