@@ -68,7 +68,14 @@ def _pcm_to_float(raw: bytes, bits: int, fmt: int) -> np.ndarray:
     if bits == 8:  # unsigned
         return (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     if bits == 16:
-        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        # Two-pass into a preallocated output: a 600 s file's
+        # `astype(f32) / 32768` spelling materializes two full-size
+        # temporaries; this spelling materializes none.
+        i16 = np.frombuffer(raw, dtype="<i2")
+        out = np.empty(i16.size, np.float32)
+        out[:] = i16
+        out /= 32768.0
+        return out
     if bits == 24:
         b = np.frombuffer(raw, dtype=np.uint8)
         n = len(b) // 3
@@ -94,13 +101,16 @@ def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
     channels = 1
     sample_rate = RAW_FALLBACK_SR
     bits = 16
-    payload: Optional[bytes] = None
+    payload = None
 
+    # Chunk bodies as memoryviews: a bytes slice would copy the whole
+    # data chunk (the dominant term of long-file peak RSS).
+    mv = memoryview(data)
     pos = 12
     while pos + 8 <= len(data):
         chunk_id = data[pos : pos + 4]
         (chunk_size,) = struct.unpack_from("<I", data, pos + 4)
-        body = data[pos + 8 : pos + 8 + chunk_size]
+        body = mv[pos + 8 : pos + 8 + chunk_size]
         if chunk_id == b"fmt " and len(body) >= 16:
             fmt_code, channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
@@ -136,13 +146,16 @@ def decode_au(data: bytes) -> Tuple[np.ndarray, int]:
     if len(data) < 24 or data[:4] != b".snd":
         raise ValueError("Not an AU stream")
     offset, _size, encoding, sample_rate, channels = struct.unpack_from(">IIIII", data, 4)
-    payload = data[offset:]
+    payload = memoryview(data)[offset:]  # no whole-payload copy
     if encoding == 1:
         samples = _MULAW[np.frombuffer(payload, dtype=np.uint8)]
     elif encoding == 2:
         samples = np.frombuffer(payload, dtype=">i1").astype(np.float32) / 128.0
     elif encoding == 3:
-        samples = np.frombuffer(payload, dtype=">i2").astype(np.float32) / 32768.0
+        i16 = np.frombuffer(payload, dtype=">i2")
+        samples = np.empty(i16.size, np.float32)
+        samples[:] = i16  # cast+swap per block, no full-size temporaries
+        samples /= 32768.0
     elif encoding == 5:
         samples = np.frombuffer(payload, dtype=">i4").astype(np.float32) / 2147483648.0
     elif encoding == 6:
@@ -162,7 +175,11 @@ def _be_pcm_to_float(raw: bytes, bits: int) -> np.ndarray:
     if bits == 8:
         return np.frombuffer(raw, dtype=">i1").astype(np.float32) / 128.0
     if bits == 16:
-        return np.frombuffer(raw, dtype=">i2").astype(np.float32) / 32768.0
+        i16 = np.frombuffer(raw, dtype=">i2")
+        out = np.empty(i16.size, np.float32)
+        out[:] = i16  # cast+swap per block, no full-size temporaries
+        out /= 32768.0
+        return out
     if bits == 24:
         b = np.frombuffer(raw, dtype=np.uint8)
         n = len(b) // 3
@@ -186,11 +203,12 @@ def decode_aiff(data: bytes) -> Tuple[np.ndarray, int]:
     sample_rate = RAW_FALLBACK_SR
     payload: Optional[bytes] = None
 
+    mv = memoryview(data)  # chunk bodies without whole-chunk copies
     pos = 12
     while pos + 8 <= len(data):
         chunk_id = data[pos : pos + 4]
         (chunk_size,) = struct.unpack_from(">I", data, pos + 4)
-        body = data[pos + 8 : pos + 8 + chunk_size]
+        body = mv[pos + 8 : pos + 8 + chunk_size]
         if chunk_id == b"COMM" and len(body) >= 18:
             channels, _frames, bits = struct.unpack_from(">HIH", body, 0)
             # Sample rate is an 80-bit IEEE extended float
@@ -218,7 +236,10 @@ def decode_aiff(data: bytes) -> Tuple[np.ndarray, int]:
 def decode_raw_pcm16(data: bytes, sample_rate: int = RAW_FALLBACK_SR) -> Tuple[np.ndarray, int]:
     """Reinterpret arbitrary bytes as 16-bit LE PCM — the terminal fallback."""
     usable = len(data) - (len(data) % 2)
-    samples = np.frombuffer(data[:usable], dtype="<i2").astype(np.float32) / 32768.0
+    i16 = np.frombuffer(memoryview(data)[:usable], dtype="<i2")
+    samples = np.empty(i16.size, np.float32)
+    samples[:] = i16  # cast per block, no full-size temporaries
+    samples /= 32768.0
     return samples, sample_rate
 
 
@@ -311,6 +332,10 @@ def _extract_pcm16_mono(data: bytes, audio: np.ndarray) -> Optional[np.ndarray]:
             return i16
         return None
 
+    # LE payloads come back as zero-copy views over ``data`` (read-only;
+    # the caller's reference to ``data`` stays alive through .base) —
+    # a copy here would add a full audio-size array to long-file peak RSS.
+    mv = memoryview(data)
     try:
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             fmt_code = channels = bits = None
@@ -319,7 +344,7 @@ def _extract_pcm16_mono(data: bytes, audio: np.ndarray) -> Optional[np.ndarray]:
             while pos + 8 <= len(data):
                 cid = data[pos:pos + 4]
                 (size,) = struct.unpack_from("<I", data, pos + 4)
-                body = data[pos + 8:pos + 8 + size]
+                body = mv[pos + 8:pos + 8 + size]
                 if cid == b"fmt " and len(body) >= 16:
                     fmt_code, channels, _, _, _, bits = struct.unpack_from(
                         "<HHIIHH", body, 0)
@@ -336,7 +361,7 @@ def _extract_pcm16_mono(data: bytes, audio: np.ndarray) -> Optional[np.ndarray]:
             offset, _sz, encoding, _sr, channels = struct.unpack_from(
                 ">IIIII", data, 4)
             if encoding == 3 and channels == 1:
-                payload = data[offset:]
+                payload = mv[offset:]
                 usable = len(payload) - (len(payload) % 2)
                 return _verify(np.frombuffer(payload[:usable],
                                              dtype=">i2").astype("<i2"))
@@ -344,7 +369,7 @@ def _extract_pcm16_mono(data: bytes, audio: np.ndarray) -> Optional[np.ndarray]:
         # Raw-PCM16 fallback shape: the whole byte string as LE int16.
         usable = len(data) - (len(data) % 2)
         if usable // 2 == audio.size:
-            return _verify(np.frombuffer(data[:usable], dtype="<i2"))
+            return _verify(np.frombuffer(mv[:usable], dtype="<i2"))
     except Exception:
         return None
     return None
@@ -388,17 +413,30 @@ def peak_normalize(audio: np.ndarray, eps: float = 1e-8) -> np.ndarray:
     return peak_normalize_ex(audio, eps)[0]
 
 
-def peak_normalize_ex(audio: np.ndarray, eps: float = 1e-8):
+def peak_normalize_ex(audio: np.ndarray, eps: float = 1e-8,
+                      inplace: bool = False):
     """:func:`peak_normalize` plus the divisor actually applied (None for
     empty input).  Callers building an int16 wire hint need the exact
     divisor so ``(i16/32768)/divisor`` reproduces the normalized float32
-    bitwise — it is the very division performed here."""
+    bitwise — it is the very division performed here.
+
+    ``inplace=True`` divides into the caller's buffer when it is a
+    writeable owned float32 array (the loader's freshly decoded audio) —
+    skipping the other full-size array a copying divide would allocate.
+    It silently falls back to the copying path otherwise, so it is safe
+    to request opportunistically."""
     if audio.size == 0:
         return audio.astype(np.float32), None
     # max(max, -min) == abs(...).max() bit-for-bit (float negation is
     # exact) without materializing the full |x| temporary.
     peak = np.maximum(audio.max(), -audio.min())
     divisor = peak + eps
+    # Writeable is the gate (frombuffer-over-bytes views are read-only and
+    # fall through); owned-ness is not — the decoders return trimming
+    # slices (``out[:n]``) of buffers nothing else aliases.
+    if inplace and audio.dtype == np.float32 and audio.flags.writeable:
+        audio /= divisor
+        return audio, divisor
     return (audio / divisor).astype(np.float32, copy=False), divisor
 
 

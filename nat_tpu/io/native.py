@@ -112,8 +112,12 @@ def serialize_dense_frames_offset(sem: np.ndarray, acc: np.ndarray,
     return serialize_dense_frames(sem, acc, frame_dur_ms, fi_base=fi_base)
 
 
-def pcm_to_float_mono(data: bytes, bits: int, channels: int) -> Optional[np.ndarray]:
-    """C++ PCM mixdown for 16/24-bit streams; None → Python path."""
+def pcm_to_float_mono(data, bits: int, channels: int) -> Optional[np.ndarray]:
+    """C++ PCM mixdown for 16/24-bit streams; None → Python path.
+
+    ``data`` is any bytes-like object: memoryview payloads pass through
+    zero-copy (long-file loads would otherwise duplicate the whole data
+    chunk just to cross this boundary)."""
     lib = get_lib()
     if lib is None or bits not in (16, 24):
         return None
@@ -121,7 +125,12 @@ def pcm_to_float_mono(data: bytes, bits: int, channels: int) -> Optional[np.ndar
     frames = len(data) // (bytes_per * channels)
     out = np.empty(frames, dtype=np.float32)
     fn = lib.pcm16_to_float_mono if bits == 16 else lib.pcm24_to_float_mono
-    n = fn(data, len(data), channels,
+    if isinstance(data, bytes):
+        src = data
+    else:  # buffer protocol, no copy
+        src = (np.frombuffer(data, dtype=np.uint8)
+               .ctypes.data_as(ctypes.c_char_p))
+    n = fn(src, len(data), channels,
            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out[:n]
 

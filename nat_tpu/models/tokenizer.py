@@ -497,7 +497,14 @@ class NeuralAudioTokenizer:
         self.ensure_initialized()
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
         sr = sample_rate or self.sample_rate
-        max_samples = int(30.0 * sr)  # bound seeding compile/compute
+        # Window: 30 s for the EnCodec bridge (bounds its compile), up to
+        # 4×30 s for 'kmeans' — the acoustic feature rate after the /16
+        # temporal convs is only ~2.7 rows/s, so 30 s gives 81 rows for a
+        # 4096-way codebook; the extra chunks ride the SAME 30 s bucket
+        # shape batched on the leading axis (no new compile).
+        max_samples = int(30.0 * sr)
+        if self.codebook_init_method == "kmeans":
+            max_samples *= 4
         audio = audio[:max_samples]
 
         if self.codebook_init_method == "encodec-kmeans":
@@ -520,9 +527,19 @@ class NeuralAudioTokenizer:
             # usable as codebooks; the reference clusters whitened
             # foreign-space (EnCodec) features and its feature-seeded
             # codebooks collapse at inference.
-            bucket = bucket_length(len(audio), sr)
-            wave = np.zeros((1, bucket), np.float32)
-            wave[0, :len(audio)] = audio
+            #
+            # Long audio rides as BATCHED rows of one bucket shape; each
+            # row's padding frames are trimmed with the exact per-stream
+            # frame arithmetic so silence padding never skews the
+            # clusters.
+            bucket = bucket_length(min(len(audio), int(30.0 * sr)), sr)
+            n_rows = max(1, -(-len(audio) // bucket))
+            wave = np.zeros((n_rows, bucket), np.float32)
+            fills = []
+            for i in range(n_rows):
+                row = audio[i * bucket:(i + 1) * bucket]
+                wave[i, :len(row)] = row
+                fills.append(len(row))
             wave = jnp.asarray(wave)
             acc_f = self.mel_encoder.apply(
                 {"params": self.params["mel_encoder"]}, wave)
@@ -533,10 +550,16 @@ class NeuralAudioTokenizer:
                 {"params": self.params["semantic_encoder"]}, wave16)
             sem_f = self.temporal_semantic.apply(
                 {"params": self.params["temporal_semantic"]}, sem_f)
-            f_sem = np.asarray(sem_f, np.float32).reshape(
-                -1, np.asarray(sem_f).shape[-1])
-            f_acc = np.asarray(acc_f, np.float32).reshape(
-                -1, np.asarray(acc_f).shape[-1])
+            sem_np = np.asarray(sem_f, np.float32)
+            acc_np = np.asarray(acc_f, np.float32)
+            f_sem = np.concatenate([
+                sem_np[i, :min(self._semantic_frames(fills[i], sr),
+                               sem_np.shape[1])]
+                for i in range(n_rows)], axis=0)
+            f_acc = np.concatenate([
+                acc_np[i, :min(self._acoustic_frames(fills[i]),
+                               acc_np.shape[1])]
+                for i in range(n_rows)], axis=0)
 
         whiten = self.codebook_init_method != "kmeans"
         sem_cb = seeding.seed_codebooks(

@@ -83,9 +83,17 @@ def _load_torch_bin(path: Path) -> Optional[Dict[str, np.ndarray]]:
 
 
 def _hub_cache_dirs() -> Iterator[Path]:
+    # huggingface_hub semantics: an explicit cache env var REPLACES the
+    # default location (it does not union with it) — anything else leaks
+    # the user-level cache into environments that deliberately pointed
+    # elsewhere (e.g. tests hiding checkpoints behind a tmp dir).
+    explicit = False
     for env in ("HF_HUB_CACHE", "HUGGINGFACE_HUB_CACHE"):
         if os.environ.get(env):
+            explicit = True
             yield Path(os.environ[env])
+    if explicit:
+        return
     home = Path(os.environ.get("HF_HOME",
                                Path.home() / ".cache" / "huggingface"))
     yield home / "hub"

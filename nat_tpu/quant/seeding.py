@@ -188,7 +188,24 @@ def robust_kmeans(
     """
     x = _preprocess_features(x, seed=seed, whiten=whiten)
     if x.shape[0] < k:
-        logger.warn(f"k-means: only {x.shape[0]} samples for {k} clusters; "
+        if x.shape[0] > 0:
+            # Overcomplete init: fewer samples than clusters.  Replicate
+            # the REAL samples with small jitter instead of the geometric
+            # sphere lattice — lattice centroids live nowhere near the
+            # feature distribution, so every frame argmins onto the same
+            # couple of points and the token stream collapses (measured
+            # diversity 0.004); jittered replicas keep the codebook
+            # inside the data so assignments vary frame to frame.
+            logger.warn(f"k-means: only {x.shape[0]} samples for {k} "
+                        "clusters; using jitter-replicated samples")
+            rng = np.random.default_rng(seed)
+            reps = rng.integers(0, x.shape[0], size=k - x.shape[0])
+            scale = 0.05 * (x.std(axis=0, keepdims=True) + 1e-6)
+            jitter = (rng.standard_normal((k - x.shape[0], x.shape[1]))
+                      .astype(np.float32) * scale)
+            return np.concatenate(
+                [x, x[reps] + jitter], axis=0).astype(np.float32)
+        logger.warn(f"k-means: no samples for {k} clusters; "
                     "using geometric fallback")
         return _geometric_fallback(k, x.shape[1] if x.size else 512, seed)
     for retry in range(max_retries):
@@ -287,8 +304,17 @@ def _align_dim(vectors: np.ndarray, target_dim: int, seed: int) -> np.ndarray:
     if d > target_dim:
         centered = vectors - vectors.mean(axis=0, keepdims=True)
         # SVD on the (possibly fat) matrix; project onto top components.
+        # full_matrices=False yields at most min(m, d) components — with
+        # fewer vectors than target_dim the projection comes back narrow
+        # and must be zero-padded back out (m=32 centroids, d=128 → 64
+        # requested components but only 32 exist).
         _, _, vt = np.linalg.svd(centered, full_matrices=False)
-        return (centered @ vt[:target_dim].T).astype(np.float32)
+        proj = (centered @ vt[:target_dim].T).astype(np.float32)
+        if proj.shape[1] == target_dim:
+            return proj
+        out = np.zeros((m, target_dim), dtype=np.float32)
+        out[:, :proj.shape[1]] = proj
+        return out
     out = np.zeros((m, target_dim), dtype=np.float32)
     out[:, :d] = vectors
     return out

@@ -277,7 +277,9 @@ class AudioTokenizationPipeline:
             sr = self.resample_rate
             pcm16 = None  # resampled floats are no longer int16-derived
 
-        audio, divisor = audio_io.peak_normalize_ex(audio)
+        # inplace: the decode above returned a fresh owned array; a copying
+        # divide would hold 2x the audio in RAM at once on long files.
+        audio, divisor = audio_io.peak_normalize_ex(audio, inplace=True)
 
         target_length = target_length or self.max_length
         if target_length:

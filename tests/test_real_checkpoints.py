@@ -11,10 +11,18 @@ Offline machines (like this CI sandbox) skip every test here; the fetch
 machinery itself is covered by tests/test_fetch.py with a synthetic repo.
 """
 
+import os
+
 import numpy as np
 import pytest
 
 pytestmark = pytest.mark.slow
+
+# Local checkpoints are this suite's precondition (tests skip when absent),
+# so resolve straight from the cache: without this, from_pretrained probes
+# the network first — slow on DNS-blackholed CI, flaky on degraded links.
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 from nat_tpu.quant import checkpoint_io  # noqa: E402
 
@@ -50,7 +58,12 @@ class TestRealWav2Vec2:
         ours = np.asarray(enc.apply({"params": params},
                                     jnp.asarray(wave)[None, :]))
         assert ours.shape == ref.shape
-        np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+        # Scale-normalized tolerance, same as test_w2v2_conversion.py: 12
+        # f32 transformer layers accumulate conv/order noise ~1e-4 of the
+        # output scale; elementwise rtol on near-zero entries is noise.
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(ours / scale, ref / scale, atol=2e-3)
+        assert np.mean(np.abs(ours - ref)) / scale < 2e-4
 
     def test_pipeline_uses_real_weights(self):
         """ensure_initialized must pick the pretrained path, not warn about
@@ -74,7 +87,8 @@ class TestRealMert:
         assert sd
         sem = seeding.extract_weight_matrices(sd, "semantic")
         acc = seeding.extract_weight_matrices(sd, "acoustic")
-        assert sem and acc
+        assert sem is not None and sem.size
+        assert acc is not None and acc.size
         # seeded codebooks from the real matrices are usable
         cb = seeding.seed_codebooks(
             method="mert", extraction_type="semantic", num_layers=2,
@@ -100,12 +114,32 @@ class TestGoldens:
         if not GOLDEN_PATH.exists():
             pytest.skip("no recorded goldens (run tools/make_goldens.py "
                         "on a networked machine after `nat --fetch`)")
+        import hashlib
         import json
 
-        return json.loads(GOLDEN_PATH.read_text())
+        golden = json.loads(GOLDEN_PATH.read_text())
+        # Goldens are truth only next to the exact weights that produced
+        # them: skip (don't fail) when the local checkpoints differ, e.g.
+        # a synthetic-checkpoint pack vs freshly fetched real weights.
+        for repo, want in golden.get("checkpoints", {}).items():
+            path = checkpoint_io.find_local_checkpoint(repo)
+            if path is None:
+                pytest.skip(f"golden needs a local checkpoint for {repo}")
+            got = hashlib.sha256(path.read_bytes()).hexdigest()
+            if got != want:
+                pytest.skip(f"goldens were recorded against a different "
+                            f"{repo} checkpoint (sha {want[:12]}… vs local "
+                            f"{got[:12]}…) — re-run tools/make_goldens.py")
+        return golden
 
-    def test_wav2vec2_hidden_state_hash(self, golden):
+    def test_wav2vec2_hidden_state_snapshot(self, golden):
+        """Recorded-truth hidden states, tolerance-compared: XLA CPU
+        numerics wiggle ~2e-6 rel across device counts/builds (measured),
+        a conversion regression moves them by O(1) — f16 snapshots at
+        5e-3 tolerance separate the two cleanly where value-hashes
+        could not."""
         _ckpt("facebook/wav2vec2-base")
+        import base64
         import hashlib
 
         import jax.numpy as jnp
@@ -127,16 +161,39 @@ class TestGoldens:
         hidden = np.asarray(enc.apply(
             {"params": params["wav2vec2"]} if "wav2vec2" in params
             else {"params": params}, jnp.asarray(audio)[None, :]))
-        assert list(hidden.shape) == golden["wav2vec2_hidden"]["shape"]
-        head = (np.round(hidden[0, :16].astype(np.float64), 4)
-                .astype(np.float32))
-        assert (hashlib.sha256(head.tobytes()).hexdigest()
-                == golden["wav2vec2_hidden"]["first16_sha256"])
+        g = golden["wav2vec2_hidden"]
+        assert list(hidden.shape) == g["shape"]
+        want = np.frombuffer(
+            base64.b64decode(g["first16_f16_b64"]), dtype="<f2").reshape(
+            16, hidden.shape[-1]).astype(np.float32)
+        scale = max(np.abs(want).max(), 1e-6)
+        np.testing.assert_allclose(hidden[0, :16] / scale, want / scale,
+                                   atol=5e-3)
+        assert abs(float(hidden.mean()) - g["mean"]) < 1e-3
+        assert abs(float(hidden.std()) - g["std"]) < 1e-3
 
-    def test_mert_codebook_hashes(self, golden):
+    def test_mert_extraction_hashes(self, golden):
+        """The weight-matrix extraction is pure numpy over the state dict —
+        bitwise-reproducible, so recorded truth is an exact sha256."""
         _ckpt("m-a-p/MERT-v1-95M")
         import hashlib
 
+        from nat_tpu.quant import seeding
+
+        sd = checkpoint_io.load_local_state_dict("m-a-p/MERT-v1-95M")
+        for extraction in ("semantic", "acoustic"):
+            want = golden["mert_extraction"][extraction]
+            mat = np.ascontiguousarray(
+                seeding.extract_weight_matrices(sd, extraction), np.float32)
+            assert list(mat.shape) == want["shape"]
+            assert (hashlib.sha256(mat.tobytes()).hexdigest()
+                    == want["sha256"]), extraction
+
+    def test_mert_codebook_stats(self, golden):
+        """K-means centroid order (and near-tie assignment) may legally
+        vary across XLA builds; the fitted distribution may not — compare
+        order-robust per-layer stats."""
+        _ckpt("m-a-p/MERT-v1-95M")
         from nat_tpu.quant import seeding
 
         for extraction, seed in (("semantic", 42), ("acoustic", 123)):
@@ -146,15 +203,35 @@ class TestGoldens:
                 codebook_size=4096, input_dim=512, seed=seed,
                 use_cache=False)
             assert list(cb.shape) == want["shape"]
-            got = [hashlib.sha256(
-                np.round(cb[i].astype(np.float64), 4)
-                .astype(np.float32).tobytes()).hexdigest()
-                for i in range(cb.shape[0])]
-            assert got == want["per_layer_sha256"], extraction
+            for i, layer in enumerate(want["per_layer"]):
+                np.testing.assert_allclose(
+                    float(cb[i].mean()), layer["mean"],
+                    rtol=2e-2, atol=1e-4, err_msg=f"{extraction}[{i}] mean")
+                np.testing.assert_allclose(
+                    float(cb[i].std()), layer["std"],
+                    rtol=2e-2, err_msg=f"{extraction}[{i}] std")
+                norms = np.linalg.norm(cb[i].astype(np.float64), axis=1)
+                np.testing.assert_allclose(
+                    np.quantile(norms, np.linspace(0.0, 1.0, 17)),
+                    layer["row_norm_q"], rtol=2e-2, atol=1e-3,
+                    err_msg=f"{extraction}[{i}] row-norm quantiles")
 
     def test_token_stream_frames(self, golden):
         _ckpt("facebook/wav2vec2-base")
         _ckpt("m-a-p/MERT-v1-95M")
+        import jax
+
+        # Token IDs are discrete: exact compare is right, but argmin
+        # near-ties at deep RVQ levels can flip across backends (observed
+        # TPU-plugin recording vs CPU replay), so exactness is only
+        # promised in the env the golden was recorded under.
+        env = golden.get("env", {})
+        current = {"platform": jax.default_backend(),
+                   "device_count": jax.local_device_count()}
+        if env and env != current:
+            pytest.skip(f"goldens recorded under {env}, replaying under "
+                        f"{current} — token IDs are only exact-stable "
+                        "within one backend config")
         from nat_tpu.runtime.pipeline import AudioTokenizationPipeline
 
         pipe = AudioTokenizationPipeline(
