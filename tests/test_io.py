@@ -118,6 +118,26 @@ class TestPeakNormalize:
         x = np.zeros(16, dtype=np.float32)
         assert np.array_equal(audio_io.peak_normalize(x), x)
 
+    def test_inplace_matches_copy_path_bitwise(self):
+        """inplace=True must produce the SAME bits as the copying path
+        (the int16 wire gates on `(i16/32768)/divisor` reproducing the
+        normalized floats exactly) while writing into the caller's buffer."""
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal(1024).astype(np.float32) * 0.3)
+        expect, div_copy = audio_io.peak_normalize_ex(x.copy())
+        buf = x.copy()
+        got, div_inplace = audio_io.peak_normalize_ex(buf, inplace=True)
+        assert got is buf  # divided into the caller's buffer
+        assert div_inplace == div_copy
+        np.testing.assert_array_equal(got, expect)
+
+    def test_inplace_falls_back_on_readonly_input(self):
+        x = np.linspace(-0.5, 0.5, 64, dtype=np.float32)
+        x.setflags(write=False)
+        got, div = audio_io.peak_normalize_ex(x, inplace=True)
+        assert got is not x and div is not None
+        assert np.max(np.abs(got)) == pytest.approx(1.0)
+
 
 class TestFormatDetection:
     def test_wav_magic(self):

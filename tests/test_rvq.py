@@ -402,6 +402,37 @@ class TestSeeding:
         assert centers.shape == (16, 8)
         assert np.all(np.isfinite(centers))
 
+    def test_robust_kmeans_undersampled_stays_in_distribution(self):
+        """Fewer samples than clusters must yield jitter-replicated REAL
+        samples, not the geometric sphere lattice: lattice centroids live
+        nowhere near the data, so every frame argmins onto the same couple
+        of points and token diversity collapses (measured 0.004 in the
+        round-4 bench)."""
+        rng = np.random.default_rng(7)
+        # 6 well-separated real samples, far from the origin-centered
+        # sphere lattice the geometric fallback would produce.
+        x = (rng.standard_normal((6, 12)).astype(np.float32)
+             + np.arange(6, dtype=np.float32)[:, None] * 10.0 + 100.0)
+        centers = seeding.robust_kmeans(x, 32, seed=0, whiten=False)
+        assert centers.shape == (32, 12)
+        # Every centroid is close to SOME real sample (in-distribution)…
+        d = np.linalg.norm(centers[:, None] - x[None, :], axis=-1)
+        assert d.min(axis=1).max() < 5.0
+        # …and the samples argmin onto distinct centroids, so assignments
+        # vary frame to frame instead of collapsing.
+        assert len(np.unique(d.argmin(axis=0))) == x.shape[0]
+
+    def test_align_dim_down_projection_with_few_vectors(self):
+        """SVD down-projection of m vectors yields at most m components;
+        the result must still come back target_dim wide (zero-padded), or
+        codebook assembly crashes on the narrow matrix."""
+        rng = np.random.default_rng(1)
+        few = rng.standard_normal((8, 32)).astype(np.float32)
+        out = seeding._align_dim(few, 16, 0)
+        assert out.shape == (8, 16)
+        np.testing.assert_array_equal(out[:, 8:], 0)  # only 8 components
+        assert np.abs(out[:, :8]).sum() > 0
+
     def test_extract_weight_matrices_layer_filter(self):
         sd = {
             "encoder.layers.0.attention.q_proj.weight": np.ones((32, 24), np.float32),

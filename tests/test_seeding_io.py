@@ -92,6 +92,24 @@ class TestSafetensorsParser:
         monkeypatch.setenv("HF_HUB_CACHE", str(tmp_path))
         assert checkpoint_io.load_local_state_dict("no/such-model") is None
 
+    def test_explicit_cache_env_replaces_default(self, tmp_path, monkeypatch):
+        """huggingface_hub semantics: HF_HUB_CACHE REPLACES the default
+        cache location.  Unioning would leak the user-level cache into
+        environments that deliberately pointed elsewhere (e.g. tests
+        hiding checkpoints behind a tmp dir)."""
+        monkeypatch.setenv("HF_HUB_CACHE", str(tmp_path / "explicit"))
+        monkeypatch.setenv("HF_HOME", str(tmp_path / "home"))
+        dirs = list(checkpoint_io._hub_cache_dirs())
+        assert dirs == [tmp_path / "explicit"]
+
+    def test_default_cache_dirs_without_explicit_env(self, tmp_path,
+                                                     monkeypatch):
+        monkeypatch.delenv("HF_HUB_CACHE", raising=False)
+        monkeypatch.delenv("HUGGINGFACE_HUB_CACHE", raising=False)
+        monkeypatch.setenv("HF_HOME", str(tmp_path / "home"))
+        dirs = list(checkpoint_io._hub_cache_dirs())
+        assert tmp_path / "home" / "hub" in dirs
+
 
 class TestMertSeeding:
     @pytest.fixture()
