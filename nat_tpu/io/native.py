@@ -75,12 +75,78 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.change_mask.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint32)]
+        lib.serialize_rle_frames.restype = ctypes.c_void_p
+        lib.serialize_rle_frames.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_double,
+            ctypes.c_char_p, ctypes.POINTER(RleCarry),
+            ctypes.POINTER(ctypes.c_size_t)]
         _bind_flac(lib)
         _lib = lib
         logger.debug(f"native host runtime loaded: {_LIB_PATH}")
     except Exception as exc:
         logger.debug(f"native load failed: {exc}")
     return _lib
+
+
+class RleCarry(ctypes.Structure):
+    """Numeric-only cross-chunk RLE state (native NatRleCarry, nat_host.cpp):
+    the streamer's buffered "tokens" event plus change/keyframe context.
+    Field order/types must mirror the C struct exactly."""
+
+    _fields_ = [
+        ("has_buffered", ctypes.c_int32), ("pad0", ctypes.c_int32),
+        ("fi", ctypes.c_int64), ("dur", ctypes.c_double),
+        ("sem_mask", ctypes.c_uint32), ("acc_mask", ctypes.c_uint32),
+        ("last_fi", ctypes.c_int64), ("last_keyframe_ms", ctypes.c_double),
+        ("has_prev", ctypes.c_int32), ("pad1", ctypes.c_int32),
+        ("sem_vals", ctypes.c_int32 * 32), ("acc_vals", ctypes.c_int32 * 32),
+        ("prev_sem", ctypes.c_int32 * 32), ("prev_acc", ctypes.c_int32 * 32),
+    ]
+
+
+def serialize_rle_frames(sem: np.ndarray, acc: np.ndarray,
+                         frame_dur_ms: float, dur_rounded: float,
+                         fi_base: int, sem_rle_mask: int, acc_rle_mask: int,
+                         keyframe_interval_ms: float, carry: RleCarry,
+                         keyframe_mask: Optional[np.ndarray] = None,
+                         ) -> Optional[str]:
+    """C++ RLE NDJSON serialization for one chunk; None → Python path.
+
+    ``carry`` is updated in place (buffered event + prev column + keyframe
+    state) so consecutive chunks — and the Python end-of-stream flush —
+    continue byte-identically.  When ``keyframe_mask`` is given it overrides
+    the interval rule (the batch path's precomputed schedule)."""
+    lib = get_lib()
+    if lib is None or sem.shape[0] > 32 or acc.shape[0] > 32:
+        return None
+    t = int(min(sem.shape[1], acc.shape[1]))
+    # %.3f fixed-point formatting (and Python repr) diverge only beyond
+    # ~1e15 ms timestamps (repr switches to exponent form at 1e16); no real
+    # stream gets there, but guard anyway.
+    if (fi_base + t) * frame_dur_ms >= 1e15:
+        return None
+    sem = np.ascontiguousarray(sem[:, :t], dtype=np.int32)
+    acc = np.ascontiguousarray(acc[:, :t], dtype=np.int32)
+    kf_arg = None
+    if keyframe_mask is not None:
+        kf = np.ascontiguousarray(keyframe_mask[:t], dtype=np.uint8)
+        kf_arg = kf.ctypes.data_as(ctypes.c_char_p)
+    out_len = ctypes.c_size_t()
+    ptr = lib.serialize_rle_frames(
+        sem.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), sem.shape[0],
+        acc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), acc.shape[0],
+        t, float(frame_dur_ms), float(dur_rounded), int(fi_base),
+        sem_rle_mask, acc_rle_mask, float(keyframe_interval_ms),
+        kf_arg, ctypes.byref(carry), ctypes.byref(out_len))
+    if not ptr:
+        return None
+    try:
+        return ctypes.string_at(ptr, out_len.value).decode()
+    finally:
+        lib.nat_free(ptr)
 
 
 def serialize_dense_frames(sem: np.ndarray, acc: np.ndarray,

@@ -68,6 +68,50 @@ class StreamingProtocol:
             compat_mode=compat_mode,
         )
 
+        # Native RLE serializer state: None = not yet tried, False = lib
+        # unavailable (Python path), RleCarry = active cross-chunk carry.
+        self._native_carry = None
+        self._rle_masks_cache: Optional[tuple] = None
+
+    # -- native RLE fast path ------------------------------------------------
+    def _rle_masks(self) -> tuple:
+        """(sem, acc) bitmasks of RLE-encoded layer indices."""
+        if self._rle_masks_cache is None:
+            s = self.ndjson_streamer
+            sem = sum(1 << i for i in range(s.num_semantic_layers)
+                      if s.uses_rle(f"S{i}"))
+            acc = sum(1 << i for i in range(s.num_acoustic_layers)
+                      if s.uses_rle(f"A{i}"))
+            self._rle_masks_cache = (sem, acc)
+        return self._rle_masks_cache
+
+    def _carry_to_buffered(self, carry) -> None:
+        """Materialize the native carry's buffered event into the streamer
+        (dict key order matching ndjson.create_frame) so the existing
+        tail-extension + end-flush code finishes the stream byte-identically
+        whichever serializer produced the lines."""
+        streamer = self.ndjson_streamer
+        if not carry.has_buffered:
+            streamer.buffered_event = None
+            return
+        fd = streamer.frame_duration_ms
+        ev: dict = {"event": "tokens", "fi": int(carry.fi),
+                    "ts": round(carry.fi * fd, 3), "dur": float(carry.dur)}
+        for i in range(streamer.num_semantic_layers):
+            if carry.sem_mask >> i & 1:
+                ev[f"S{i}"] = int(carry.sem_vals[i])
+        for i in range(streamer.num_acoustic_layers):
+            if carry.acc_mask >> i & 1:
+                ev[f"A{i}"] = int(carry.acc_vals[i])
+        dense_s = [int(carry.sem_vals[i]) for i in streamer._dense_s_idx]
+        if dense_s:
+            ev["S_dense"] = dense_s
+        dense_a = [int(carry.acc_vals[i]) for i in streamer._dense_a_idx]
+        if dense_a:
+            ev["A_dense"] = dense_a
+        streamer.buffered_event = ev
+        streamer.last_frame_index = int(carry.last_fi)
+
     # -- vectorized helpers --------------------------------------------------
     @staticmethod
     def _stack_codes(codes: List[np.ndarray]) -> np.ndarray:
@@ -153,12 +197,36 @@ class StreamingProtocol:
                              "dur": dur, "S": sem_l[fi], "A": acc_l[fi]},
                             separators=(",", ":")))
             else:
+                keyframes = self._keyframe_schedule(num_frames, frame_dur)
+                # RLE fast path: C++ walk against the precomputed keyframe
+                # schedule; the buffered tail is handed back numerically and
+                # finished by the same Python tail-extension + end flush.
+                from ..io import native as native_host
+
+                carry = (native_host.RleCarry()
+                         if hasattr(native_host, "RleCarry") else None)
+                sm, am = self._rle_masks()
+                text = native_host.serialize_rle_frames(
+                    sem, acc, frame_dur, streamer._dur_rounded, 0, sm, am,
+                    0.0, carry, keyframe_mask=keyframes) \
+                    if carry is not None else None
+                if text is not None:
+                    if text:
+                        lines.extend(text.splitlines())
+                    self._carry_to_buffered(carry)
+                    if streamer.buffered_event is not None and num_frames:
+                        tail = (num_frames - 1) - streamer.last_frame_index
+                        if tail > 0:
+                            streamer.buffered_event["dur"] += tail * frame_dur
+                            streamer.last_frame_index = num_frames - 1
+                    lines.append(streamer.create_end_marker(processing_stats))
+                    return "\n".join(lines)
+
                 # Vectorized change masks: layer differs from previous frame.
                 changed_s = np.ones_like(sem, dtype=bool)
                 changed_a = np.ones_like(acc, dtype=bool)
                 changed_s[:, 1:] = sem[:, 1:] != sem[:, :-1]
                 changed_a[:, 1:] = acc[:, 1:] != acc[:, :-1]
-                keyframes = self._keyframe_schedule(num_frames, frame_dur)
                 any_change = changed_s.any(axis=0) | changed_a.any(axis=0)
                 emit = any_change | keyframes
                 emit_frames = np.nonzero(emit)[0]
@@ -210,6 +278,8 @@ class StreamingProtocol:
         self._inc_prev_sem: Optional[np.ndarray] = None
         self._inc_prev_acc: Optional[np.ndarray] = None
         self._inc_last_keyframe_ms = 0.0
+        if self._native_carry is not False:
+            self._native_carry = None  # fresh carry for the new stream
         return self.ndjson_streamer.create_header(
             duration_seconds, metadata, include_legend)
 
@@ -244,6 +314,34 @@ class StreamingProtocol:
                 lines.extend(text.rstrip("\n").splitlines())
             self._inc_frame_idx += t
             return lines
+
+        # Native RLE fast path: C++ walk with a numeric cross-chunk carry
+        # (buffered event + prev column + keyframe clock), byte-identical to
+        # the Python walk below (fuzz-tested).  The carry is materialized
+        # back into the streamer by end_stream for the final flush.
+        if self._native_carry is not False and t:
+            from ..io import native as native_host
+
+            if not hasattr(native_host, "RleCarry"):
+                self._native_carry = False
+            else:
+                if self._native_carry is None:
+                    self._native_carry = native_host.RleCarry()
+                    self._native_carry.last_keyframe_ms = (
+                        self._inc_last_keyframe_ms)
+                sm, am = self._rle_masks()
+                text = native_host.serialize_rle_frames(
+                    sem, acc, frame_dur, streamer._dur_rounded,
+                    self._inc_frame_idx, sm, am,
+                    self.keyframe_interval_seconds * 1000.0,
+                    self._native_carry)
+                if text is None:
+                    self._native_carry = False  # lib unavailable
+                else:
+                    self._inc_frame_idx += t
+                    self._inc_prev_sem = sem[:, -1].copy()
+                    self._inc_prev_acc = acc[:, -1].copy()
+                    return text.splitlines()
 
         # RLE: change masks continue across chunk boundaries via prev state.
         prev_s = self._inc_prev_sem
@@ -296,6 +394,9 @@ class StreamingProtocol:
     def end_stream(self, processing_stats: Optional[dict] = None) -> List[str]:
         """Finish the incremental stream (flushes RLE state + end event)."""
         streamer = self.ndjson_streamer
+        if self.rle_mode and self._native_carry not in (None, False):
+            self._carry_to_buffered(self._native_carry)
+            self._native_carry = None
         if self.rle_mode and streamer.buffered_event is not None:
             tail = (self._inc_frame_idx - 1) - streamer.last_frame_index
             if tail > 0:

@@ -11,8 +11,10 @@
 // The wire format matches nat_tpu/stream/ndjson.py exactly (compact
 // separators, 3-decimal rounding of ts/dur, layer order S then A).
 
+#include <charconv>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <string>
@@ -123,6 +125,280 @@ int64_t pcm24_to_float_mono(const uint8_t *data, int64_t num_bytes,
         out[i] = acc * scale * inv_ch;
     }
     return frames;
+}
+
+// ---------------------------------------------------------------------------
+// RLE stream serialization (nat_tpu/stream/protocol.py feed_frames /
+// create_ndjson_stream RLE branches, byte-identical).  At realistic token
+// change rates most frames emit a line, so the per-frame Python dict build +
+// json.dumps dominates host time on --rle streams the same way it did on
+// dense ones.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// CPython float repr: shortest decimal string that round-trips, fixed-point
+// form when the decimal exponent is in [-4, 16).  Needed for "dur" values,
+// which accumulate (dur += elapsed * frame_dur) into full-precision doubles.
+// std::to_chars scientific mode (Ryu) yields the shortest mantissa directly
+// (a %.*g precision-search loop measured ~16 snprintf+strtod per value —
+// it dominated the whole serializer); reformat it CPython-style.
+inline void append_repr(std::string &out, double v) {
+    char buf[48];
+    auto res = std::to_chars(buf, buf + sizeof buf, v,
+                             std::chars_format::scientific);
+    int n = (int)(res.ptr - buf);
+    char *e = (char *)memchr(buf, 'e', n);
+    // digits of the mantissa, sign, decimal exponent
+    char digits[24];
+    int nd = 0;
+    bool neg = false;
+    for (char *p = buf; p < e; ++p) {
+        if (*p == '-') neg = true;
+        else if (*p >= '0' && *p <= '9') digits[nd++] = *p;
+    }
+    int exp = atoi(e + 1);
+    if (neg) out += '-';
+    if (exp >= 16 || exp < -4) {
+        // CPython exponent form: d[.ddd]e±NN (≥2 exponent digits).
+        out += digits[0];
+        if (nd > 1) {
+            out += '.';
+            out.append(digits + 1, nd - 1);
+        }
+        char tail[8];
+        out.append(tail, snprintf(tail, sizeof tail, "e%+03d", exp));
+        return;
+    }
+    if (exp >= 0) {
+        if (nd <= exp + 1) {
+            out.append(digits, nd);
+            out.append((size_t)(exp + 1 - nd), '0');
+            out += ".0";
+        } else {
+            out.append(digits, exp + 1);
+            out += '.';
+            out.append(digits + exp + 1, nd - exp - 1);
+        }
+    } else {
+        out += "0.";
+        out.append((size_t)(-exp - 1), '0');
+        out.append(digits, nd);
+    }
+}
+
+// repr(round(v, 3)): glibc %.3f correctly rounds the exact binary value
+// (ties-to-even), exactly like Python round(v, 3); the shortest repr of the
+// resulting ≤3-decimal value is the zero-trimmed string.
+inline void append_round3(std::string &out, double v) {
+    char buf[344];
+    int n = snprintf(buf, sizeof buf, "%.3f", v);
+    while (n > 0 && buf[n - 1] == '0') n--;
+    if (n > 0 && buf[n - 1] == '.') n++;  // keep "x.0"
+    out.append(buf, n);
+}
+
+inline uint32_t mask_all(int n) {
+    return n >= 32 ? 0xFFFFFFFFu : ((1u << n) - 1u);
+}
+
+}  // namespace
+
+// Numeric-only carry of the streamer's cross-chunk RLE state: the buffered
+// "tokens" event (ndjson.py buffered_event) plus change/keyframe context.
+// Layout mirrored by nat_tpu/io/native.py RleCarry — keep in sync.
+typedef struct {
+    int32_t has_buffered;
+    int32_t pad0;
+    int64_t fi;               // buffered event's frame index
+    double dur;               // accumulating duration (ms)
+    uint32_t sem_mask;        // changed RLE-encoded layers at that frame
+    uint32_t acc_mask;
+    int64_t last_fi;          // streamer.last_frame_index
+    double last_keyframe_ms;  // interval rule state (feed_frames path)
+    int32_t has_prev;
+    int32_t pad1;
+    int32_t sem_vals[32];     // full token column at the buffered frame
+    int32_t acc_vals[32];
+    int32_t prev_sem[32];     // last column of the previous chunk
+    int32_t prev_acc[32];
+} NatRleCarry;
+
+namespace {
+
+// The buffered "tokens" event: change-keys only for RLE-encoded layers
+// (S ascending then A ascending, matching changed_layers order), then the
+// FULL dense-layer vectors.
+inline void render_tokens_event(std::string &out, const NatRleCarry *c,
+                                int Ls, int La, double frame_dur_ms,
+                                uint32_t sem_rle, uint32_t acc_rle) {
+    out += "{\"event\":\"tokens\",\"fi\":";
+    append_int(out, c->fi);
+    out += ",\"ts\":";
+    append_round3(out, (double)c->fi * frame_dur_ms);
+    out += ",\"dur\":";
+    append_repr(out, c->dur);
+    for (int l = 0; l < Ls; ++l)
+        if (c->sem_mask & (1u << l)) {
+            out += ",\"S";
+            append_int(out, l);
+            out += "\":";
+            append_int(out, c->sem_vals[l]);
+        }
+    for (int l = 0; l < La; ++l)
+        if (c->acc_mask & (1u << l)) {
+            out += ",\"A";
+            append_int(out, l);
+            out += "\":";
+            append_int(out, c->acc_vals[l]);
+        }
+    if (mask_all(Ls) & ~sem_rle) {
+        out += ",\"S_dense\":[";
+        bool first = true;
+        for (int l = 0; l < Ls; ++l)
+            if (!(sem_rle & (1u << l))) {
+                if (!first) out += ',';
+                first = false;
+                append_int(out, c->sem_vals[l]);
+            }
+        out += ']';
+    }
+    if (mask_all(La) & ~acc_rle) {
+        out += ",\"A_dense\":[";
+        bool first = true;
+        for (int l = 0; l < La; ++l)
+            if (!(acc_rle & (1u << l))) {
+                if (!first) out += ',';
+                first = false;
+                append_int(out, c->acc_vals[l]);
+            }
+        out += ']';
+    }
+    out += "}\n";
+}
+
+inline void render_keyframe_event(std::string &out, int64_t fi,
+                                  const int32_t *sem, const int32_t *acc,
+                                  int Ls, int La, int T, int i,
+                                  double frame_dur_ms, double dur_rounded) {
+    out += "{\"event\":\"frame\",\"fi\":";
+    append_int(out, fi);
+    out += ",\"ts\":";
+    append_round3(out, (double)fi * frame_dur_ms);
+    out += ",\"dur\":";
+    append_repr(out, dur_rounded);
+    out += ",\"S\":[";
+    for (int l = 0; l < Ls; ++l) {
+        if (l) out += ',';
+        append_int(out, sem[(size_t)l * T + i]);
+    }
+    out += "],\"A\":[";
+    for (int l = 0; l < La; ++l) {
+        if (l) out += ',';
+        append_int(out, acc[(size_t)l * T + i]);
+    }
+    out += "],\"is_keyframe\":true}\n";
+}
+
+}  // namespace
+
+// Serialize one chunk's RLE lines; updates *carry in place so the next call
+// (or the Python end-of-stream flush) continues exactly where this left off.
+//   sem/acc: int32 [L, T] row-major; fi_base: absolute index of column 0.
+//   dur_rounded: streamer._dur_rounded (round(frame_dur_ms, 3), computed by
+//     Python so the buffered event's initial dur is bit-identical).
+//   keyframe_mask: nullable uint8 [T] explicit schedule (batch path);
+//     when null the interval rule runs on carry->last_keyframe_ms.
+// Returns malloc'd newline-terminated lines ("" when nothing emitted).
+char *serialize_rle_frames(const int32_t *sem, int Ls, const int32_t *acc,
+                           int La, int T, double frame_dur_ms,
+                           double dur_rounded, int64_t fi_base,
+                           uint32_t sem_rle_mask, uint32_t acc_rle_mask,
+                           double keyframe_interval_ms,
+                           const uint8_t *keyframe_mask, NatRleCarry *carry,
+                           size_t *out_len) {
+    std::string out;
+    out.reserve((size_t)T * 48 + 64);
+    for (int i = 0; i < T; ++i) {
+        const int64_t fi = fi_base + i;
+        uint32_t ch_s = 0, ch_a = 0;
+        if (i == 0 && !carry->has_prev) {
+            ch_s = mask_all(Ls);
+            ch_a = mask_all(La);
+        } else {
+            for (int l = 0; l < Ls; ++l) {
+                const int32_t prev = i ? sem[(size_t)l * T + i - 1]
+                                       : carry->prev_sem[l];
+                if (sem[(size_t)l * T + i] != prev) ch_s |= 1u << l;
+            }
+            for (int l = 0; l < La; ++l) {
+                const int32_t prev = i ? acc[(size_t)l * T + i - 1]
+                                       : carry->prev_acc[l];
+                if (acc[(size_t)l * T + i] != prev) ch_a |= 1u << l;
+            }
+        }
+        const double time_ms = (double)fi * frame_dur_ms;
+        const bool is_kf =
+            keyframe_mask ? (keyframe_mask[i] != 0)
+                          : (time_ms - carry->last_keyframe_ms >=
+                             keyframe_interval_ms);
+        if (!is_kf && !(ch_s | ch_a)) continue;
+        if (is_kf) {
+            if (!keyframe_mask) carry->last_keyframe_ms = time_ms;
+            if (carry->has_buffered) {
+                // Fold skipped unchanged frames into the buffered run first
+                // (the reference walks every frame, so its buffer is already
+                // extended to fi-1), then flush.
+                const int64_t elapsed = (fi - 1) - carry->last_fi;
+                if (elapsed > 0) {
+                    carry->dur += (double)elapsed * frame_dur_ms;
+                    carry->last_fi = fi - 1;
+                }
+                render_tokens_event(out, carry, Ls, La, frame_dur_ms,
+                                    sem_rle_mask, acc_rle_mask);
+                carry->has_buffered = 0;
+            }
+            render_keyframe_event(out, fi, sem, acc, Ls, La, T, i,
+                                  frame_dur_ms, dur_rounded);
+        } else {
+            if (carry->has_buffered) {
+                carry->dur += (double)(fi - carry->last_fi) * frame_dur_ms;
+                render_tokens_event(out, carry, Ls, La, frame_dur_ms,
+                                    sem_rle_mask, acc_rle_mask);
+            }
+            carry->has_buffered = 1;
+            carry->fi = fi;
+            carry->dur = dur_rounded;
+            carry->sem_mask = ch_s & sem_rle_mask;
+            carry->acc_mask = ch_a & acc_rle_mask;
+            for (int l = 0; l < Ls; ++l)
+                carry->sem_vals[l] = sem[(size_t)l * T + i];
+            for (int l = 0; l < La; ++l)
+                carry->acc_vals[l] = acc[(size_t)l * T + i];
+            carry->last_fi = fi;
+        }
+    }
+    if (T > 0) {
+        for (int l = 0; l < Ls; ++l)
+            carry->prev_sem[l] = sem[(size_t)l * T + T - 1];
+        for (int l = 0; l < La; ++l)
+            carry->prev_acc[l] = acc[(size_t)l * T + T - 1];
+        carry->has_prev = 1;
+    }
+    *out_len = out.size();
+    char *buf = (char *)malloc(out.size() + 1);
+    memcpy(buf, out.data(), out.size());
+    buf[out.size()] = '\0';
+    return buf;
+}
+
+// Direct fuzz hook for append_repr (tests compare against Python repr).
+int nat_format_repr(double v, char *buf, int buflen) {
+    std::string s;
+    append_repr(s, v);
+    if ((int)s.size() + 1 > buflen) return -1;
+    memcpy(buf, s.data(), s.size() + 1);
+    return (int)s.size();
 }
 
 // Vectorized RLE scan: for each frame, bitmask of layers that changed vs the

@@ -90,3 +90,135 @@ class TestChangeMask:
             for fi in changed:
                 expect[fi] |= 1 << l
         np.testing.assert_array_equal(mask, expect)
+
+
+class TestRleSerializer:
+    """Native RLE serializer parity: the C++ walk (serialize_rle_frames +
+    numeric carry) must be byte-identical to the Python streamer on any
+    token dynamics, layer config, frame rate, and chunking."""
+
+    @staticmethod
+    def _gen(rng, style, n_layers, t, codebook=4096):
+        if style == "random":
+            return rng.integers(0, codebook, (n_layers, t))
+        if style == "constant":
+            return np.full((n_layers, t), int(rng.integers(0, codebook)))
+        # piecewise-constant runs at a random change rate
+        rate = rng.uniform(0.02, 0.8)
+        steps = rng.random((n_layers, t)) < rate
+        return np.cumsum(steps, axis=1) % codebook
+
+    @staticmethod
+    def _with_python_fallback(fn):
+        import os
+
+        os.environ["NAT_TPU_NO_NATIVE"] = "1"
+        native._lib = None
+        native._load_attempted = False
+        try:
+            return fn()
+        finally:
+            del os.environ["NAT_TPU_NO_NATIVE"]
+            native._load_attempted = False
+
+    def _run_both(self, sem, acc, chunks, **proto_kwargs):
+        from nat_tpu.stream.protocol import StreamingProtocol
+
+        def batch():
+            proto = StreamingProtocol(rle_mode=True, **proto_kwargs)
+            tokens = {
+                "semantic_codes": [sem[i][None] for i in range(sem.shape[0])],
+                "acoustic_codes": [acc[i][None] for i in range(acc.shape[0])],
+            }
+            return proto.create_ndjson_stream(tokens)
+
+        def incremental():
+            proto = StreamingProtocol(rle_mode=True, **proto_kwargs)
+            lines = [proto.begin_stream()]
+            prev = 0
+            for s in list(chunks) + [sem.shape[1]]:
+                lines.extend(proto.feed_frames(sem[:, prev:s],
+                                               acc[:, prev:s]))
+                prev = s
+            lines.extend(proto.end_stream())
+            return "\n".join(lines)
+
+        nat_b, nat_i = batch(), incremental()
+        py_b = self._with_python_fallback(batch)
+        py_i = self._with_python_fallback(incremental)
+        return nat_b, nat_i, py_b, py_i
+
+    @pytest.mark.parametrize("seed", range(16))
+    def test_byte_parity_fuzz(self, lib, seed):
+        rng = np.random.default_rng(seed)
+        ls = int(rng.integers(1, 9))
+        la = int(rng.integers(1, 9))
+        t = int(rng.integers(1, 400))
+        style = ["random", "constant", "runs", "runs"][seed % 4]
+        sem = self._gen(rng, style, ls, t)
+        acc = self._gen(rng, style, la, t)
+        # random per-layer encoding overrides (mixed rle/dense both groups)
+        enc = {}
+        for i in range(ls):
+            enc[f"S{i}"] = rng.choice(["rle", "dense"])
+        for i in range(la):
+            enc[f"A{i}"] = rng.choice(["rle", "dense"])
+        sr, hop = [(22050, 512), (16000, 320), (44100, 441),
+                   (48000, 512)][seed % 4]
+        n_chunks = int(rng.integers(0, min(8, t)))
+        chunks = sorted(rng.choice(np.arange(1, t), size=n_chunks,
+                                   replace=False).tolist()) if n_chunks else []
+        kw = dict(sample_rate=sr, hop_length=hop,
+                  num_semantic_layers=ls, num_acoustic_layers=la,
+                  per_layer_encoding=enc,
+                  keyframe_interval_seconds=float(rng.uniform(0.2, 6.0)))
+        nat_b, nat_i, py_b, py_i = self._run_both(sem, acc, chunks, **kw)
+        assert nat_b == py_b   # batch path parity
+        assert nat_i == py_i   # incremental path parity
+
+    def test_single_frame_chunks(self, lib):
+        """Chunk size 1 maximizes carry traffic (every buffered event and
+        keyframe crosses the native boundary)."""
+        rng = np.random.default_rng(99)
+        sem = self._gen(rng, "runs", 4, 120)
+        acc = self._gen(rng, "runs", 4, 120)
+        kw = dict(sample_rate=22050, hop_length=512,
+                  num_semantic_layers=4, num_acoustic_layers=4,
+                  keyframe_interval_seconds=1.0)
+        nat_b, nat_i, py_b, py_i = self._run_both(
+            sem, acc, list(range(1, 120)), **kw)
+        assert nat_i == py_i
+        assert nat_b == py_b
+
+    def test_repr_formatter_matches_python(self, lib):
+        """nat_format_repr must reproduce CPython float repr exactly —
+        'dur' values accumulate into full-precision doubles and the wire
+        contract is byte-level."""
+        import ctypes
+        import random
+        import struct
+
+        lib.nat_format_repr.restype = ctypes.c_int
+        lib.nat_format_repr.argtypes = [ctypes.c_double, ctypes.c_char_p,
+                                        ctypes.c_int]
+        buf = ctypes.create_string_buffer(64)
+        rng = random.Random(7)
+        for i in range(20000):
+            mode = i % 5
+            if mode == 0:
+                v = rng.uniform(0, 1e7)
+            elif mode == 1:
+                fd = rng.uniform(1, 100)
+                v = round(fd, 3) + rng.randint(1, 10000) * fd
+            elif mode == 2:
+                v = rng.randint(0, 10**8) / 1000.0
+            elif mode == 3:
+                v = rng.uniform(0, 1) * 10**rng.randint(-12, 20)
+            else:
+                v = struct.unpack(
+                    "<d", struct.pack("<Q", rng.getrandbits(63)))[0]
+                if v != v or abs(v) == float("inf"):
+                    continue
+            n = lib.nat_format_repr(v, buf, 64)
+            assert n > 0
+            assert buf.value.decode() == repr(v), v.hex()
