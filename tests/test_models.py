@@ -33,6 +33,37 @@ def test_interp_linear_identity():
                                   np.asarray(x))
 
 
+def test_interp_linear_matmul_matches_gather():
+    """The MXU-matmul lowering and the gather lowering compute the same
+    resize (both up and down); the gather branch is forced by shrinking
+    the dense-operator limit."""
+    from nat_tpu.ops import interp as interp_mod
+
+    rng = np.random.default_rng(7)
+    for t, new_t in [(50, 20), (20, 50), (1499, 81), (3, 7), (7, 3)]:
+        x = jnp.asarray(rng.standard_normal((2, 5, t)).astype(np.float32))
+        via_matmul = np.asarray(interp_linear(x, new_t))
+        old_limit = interp_mod._MATMUL_LIMIT
+        try:
+            interp_mod._MATMUL_LIMIT = 0
+            via_gather = np.asarray(interp_linear(x, new_t))
+        finally:
+            interp_mod._MATMUL_LIMIT = old_limit
+        np.testing.assert_allclose(via_matmul, via_gather,
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_interp_linear_matmul_upsample_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 4, 17)).astype(np.float32)
+    ours = np.asarray(interp_linear(jnp.asarray(x), 40))
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=40, mode="linear",
+        align_corners=False).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
 def test_mel_encoder_downsamples_16x():
     enc = MelResidualEncoder(output_dim=64, channels=(8, 8, 8, 8, 16, 16),
                              sample_rate=22050)
