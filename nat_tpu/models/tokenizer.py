@@ -499,9 +499,10 @@ class NeuralAudioTokenizer:
         sr = sample_rate or self.sample_rate
         # Window: 30 s for the EnCodec bridge (bounds its compile), up to
         # 4×30 s for 'kmeans' — the acoustic feature rate after the /16
-        # temporal convs is only ~2.7 rows/s, so 30 s gives 81 rows for a
-        # 4096-way codebook; the extra chunks ride the SAME 30 s bucket
-        # shape batched on the leading axis (no new compile).
+        # strided convs is only ~2.7 rows/s; longer audio rides the same
+        # 30 s bucket batched on the leading axis, and the stride-phase
+        # augmentation below multiplies the acoustic row count up to 16×
+        # when the codebook still outnumbers the rows.
         max_samples = int(30.0 * sr)
         if self.codebook_init_method == "kmeans":
             max_samples *= 4
@@ -534,15 +535,36 @@ class NeuralAudioTokenizer:
             # clusters.
             bucket = bucket_length(min(len(audio), int(30.0 * sr)), sr)
             n_rows = max(1, -(-len(audio) // bucket))
-            wave = np.zeros((n_rows, bucket), np.float32)
+            wave_np = np.zeros((n_rows, bucket), np.float32)
             fills = []
             for i in range(n_rows):
                 row = audio[i * bucket:(i + 1) * bucket]
-                wave[i, :len(row)] = row
+                wave_np[i, :len(row)] = row
                 fills.append(len(row))
-            wave = jnp.asarray(wave)
+            wave = jnp.asarray(wave_np)
+
+            # Acoustic features come out of the mel encoder's four
+            # stride-2 convs at 1/16th the mel frame rate (~2.7 rows/s) —
+            # far too few rows to seed a 4096-way codebook from minutes
+            # of audio.  The /16 grid has 16 distinct phases: shifting
+            # the waveform by whole mel hops re-bins the same audio into
+            # new stride windows, so each shift is a genuine sample of
+            # the inference-time feature distribution (span boundaries
+            # place real streams at arbitrary grid phases), not a
+            # jittered replica.  Batch as many phases as the codebook
+            # needs (≤16) through one mel+temporal apply.
+            frames_per_row = [self._acoustic_frames(f) for f in fills]
+            rows_per_pass = max(1, sum(frames_per_row))
+            n_shift = int(min(16, max(
+                1, -(-self.codebook_size // rows_per_pass))))
+            if n_shift > 1:
+                acc_in = jnp.asarray(np.concatenate(
+                    [np.roll(wave_np, -s * self.hop_length, axis=1)
+                     for s in range(n_shift)], axis=0))
+            else:
+                acc_in = wave
             acc_f = self.mel_encoder.apply(
-                {"params": self.params["mel_encoder"]}, wave)
+                {"params": self.params["mel_encoder"]}, acc_in)
             acc_f = self.temporal_acoustic.apply(
                 {"params": self.params["temporal_acoustic"]}, acc_f)
             wave16 = resample_jax(wave, sr, SEMANTIC_SR)
@@ -556,10 +578,22 @@ class NeuralAudioTokenizer:
                 sem_np[i, :min(self._semantic_frames(fills[i], sr),
                                sem_np.shape[1])]
                 for i in range(n_rows)], axis=0)
-            f_acc = np.concatenate([
-                acc_np[i, :min(self._acoustic_frames(fills[i]),
-                               acc_np.shape[1])]
-                for i in range(n_rows)], axis=0)
+            acc_parts = []
+            for s in range(n_shift):
+                for i in range(n_rows):
+                    # Shifted content [s·hop, fill) lands at [0, fill−s·hop);
+                    # the roll wraps head samples into the tail, so one
+                    # trailing post-/16 frame (16 mel frames ≫ the STFT
+                    # window half-width) is dropped as a purity guard.
+                    valid = self._acoustic_frames(
+                        max(fills[i] - s * self.hop_length, 0))
+                    if s:
+                        valid -= 1
+                    if valid > 0:
+                        acc_parts.append(
+                            acc_np[s * n_rows + i,
+                                   :min(valid, acc_np.shape[1])])
+            f_acc = np.concatenate(acc_parts, axis=0)
 
         whiten = self.codebook_init_method != "kmeans"
         sem_cb = seeding.seed_codebooks(

@@ -47,6 +47,30 @@ class TestKmeansInit:
         tok.maybe_seed_from_audio(audio, 16000)
         np.testing.assert_array_equal(after, np.asarray(tok.sem_rvq.codebook))
 
+    def test_stride_phase_augmentation_multiplies_acoustic_rows(self, audio,
+                                                                monkeypatch):
+        """When the codebook outnumbers the post-/16 acoustic rows, the
+        seeder batches hop-shifted waveform copies (distinct stride-grid
+        phases) instead of leaving k-means to jitter-replicate: the
+        acoustic feature matrix must grow well past one pass's row count
+        and the extra rows must be distinct, not copies."""
+        captured = {}
+        real = seeding.seed_codebooks
+
+        def spy(features=None, **kw):
+            captured.setdefault("rows", []).append(np.asarray(features))
+            return real(features=features, **kw)
+
+        monkeypatch.setattr(seeding, "seed_codebooks", spy)
+        tok = _tok("kmeans")
+        tok.ensure_initialized()
+        one_pass_rows = tok._acoustic_frames(len(audio))
+        tok.maybe_seed_from_audio(audio, 16000)
+        f_acc = captured["rows"][1]          # second call = acoustic
+        assert f_acc.shape[0] > 4 * one_pass_rows
+        # phase-shifted rows are genuinely different samples
+        assert np.unique(f_acc.round(5), axis=0).shape[0] > one_pass_rows
+
     @pytest.mark.slow
     def test_seeded_tokens_not_collapsed_and_differ_from_random(self):
         """Seeded-vs-random token assertion: on a non-stationary signal the
