@@ -12,6 +12,7 @@ driver target is >100× real-time per chip, so ``vs_baseline`` is RTF/100.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -53,7 +54,7 @@ def main() -> None:
     # ~7 ms per item (measured); batch 64 measured ~4% over batch 32
     # (3676x vs 3544x) — deeper batches keep the MXU fed through the
     # narrow layers.
-    batch = 64
+    batch = int(os.environ.get("NAT_TPU_BENCH_BATCH", "64"))
     bucket = int(chunk_seconds * sample_rate)
 
     tok = NeuralAudioTokenizer(

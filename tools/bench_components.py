@@ -81,6 +81,18 @@ def main() -> int:
         return tok.semantic_encoder.apply(
             {"params": params["semantic_encoder"]}, w16)
 
+    # Semantic sub-stages (where does wav2vec2 time go?)
+    from nat_tpu.models.semantic import FeatureExtractor
+
+    sem_tree = None
+    if not tok.semantic_fallback:
+        sem_tree = tok.params["semantic_encoder"]["wav2vec2"]
+
+    @jax.jit
+    def stage_sem_fe(params, w16):
+        fe = FeatureExtractor(dtype=tok.semantic_encoder.dtype)
+        return fe.apply({"params": sem_tree["feature_extractor"]}, w16)
+
     @jax.jit
     def stage_mel(params, w):
         return mel_encoder.apply({"params": params["mel_encoder"]}, w)
@@ -152,6 +164,11 @@ def main() -> int:
     stages["resample_22k_to_16k"] = timed(stage_resample, wave)
     wave16 = stage_resample(wave)
     stages["semantic_w2v2"] = timed(stage_semantic, tok.params, wave16)
+    if sem_tree is not None:
+        # informational sub-stage (inside semantic_w2v2, not added to the
+        # standalone total): conv front-end vs transformer split
+        results["semantic_fe_s"] = round(
+            timed(stage_sem_fe, tok.params, wave16), 5)
     sem_feats = stage_semantic(tok.params, wave16)
     stages["acoustic_mel_conv"] = timed(stage_mel, tok.params, wave)
     acc_feats = stage_mel(tok.params, wave)
