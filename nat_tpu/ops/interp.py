@@ -30,10 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 # Max elements of the dense [T, T'] operator that we are willing to bake
-# into the graph (8 MB of float32).  Alignment matrices in the forward are
-# ~1500 × ~80 ≈ 120k; the decoder's sample-level upsample (3k × 660k) is
-# far past this and keeps the gather path.
-_MATMUL_LIMIT = 2 << 20
+# into the graph (16 MB of float32).  Alignment matrices in the forward are
+# ~1500 × ~80 ≈ 120k and the temporal encoder's in-branch resizes top out
+# around 1292 × 2584 ≈ 3.3M; the decoder's sample-level upsample
+# (3k × 660k) is far past this and keeps the gather path.
+_MATMUL_LIMIT = 4 << 20
 
 
 @lru_cache(maxsize=128)
