@@ -441,7 +441,11 @@ def _bench_serve(spent_seconds: float, pipe, budget: float = 2400.0) -> dict:
                         {k: cur.get(k, 0) - prev.get(k, 0) for k in cur})
                     prev = cur
                     spread = max(elapsed_runs) / min(elapsed_runs)
-                    if (total_audio / min(elapsed_runs) > 150.0
+                    # Early-out keys on the MEDIAN: the typical case is
+                    # the production number (VERDICT r4 #3), so a lucky
+                    # best-of must not stop the loop while the median
+                    # still sits under the 150x bar.
+                    if (total_audio / float(np.median(elapsed_runs)) > 150.0
                             and len(elapsed_runs) >= 2 and spread <= 2.0):
                         break   # target met and typical-case established
                     if time.time() > deadline:
