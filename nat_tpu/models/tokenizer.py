@@ -505,7 +505,22 @@ class NeuralAudioTokenizer:
         # when the codebook still outnumbers the rows.
         max_samples = int(30.0 * sr)
         if self.codebook_init_method == "kmeans":
-            max_samples *= 4
+            # 8×30 s of SPREAD coverage: semantic features run at ~50
+            # rows/s, so 240 s gives ~12k rows (≥3 per cluster of a
+            # 4096-way codebook) instead of the 1.5/cluster a 4×30 s
+            # head window provided.  Crucially the chunks are sampled
+            # evenly across the WHOLE file, not its first minutes: on
+            # evolving content (sweeps, movements) a head-only codebook
+            # never sees the later feature regions and the stream's
+            # token diversity collapses exactly where the content goes
+            # somewhere new.
+            max_samples *= 8
+            if len(audio) > max_samples:
+                chunk = int(30.0 * sr)
+                starts = np.linspace(
+                    0, len(audio) - chunk, max_samples // chunk)
+                audio = np.concatenate(
+                    [audio[int(s):int(s) + chunk] for s in starts])
         audio = audio[:max_samples]
 
         if self.codebook_init_method == "encodec-kmeans":

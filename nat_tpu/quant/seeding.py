@@ -357,6 +357,23 @@ def load_pretrained_state_dict(model_name: str) -> Optional[Dict]:
 # ---------------------------------------------------------------------------
 
 
+def _nearest_centroid(x: np.ndarray, centers: np.ndarray,
+                      block: int = 4096) -> np.ndarray:
+    """Blocked argmin-distance assignment ``[M] ← [M, D] vs [K, D]``.
+
+    Host-side (seeding is one-time); blocks bound the ``[block, K]``
+    distance tile so 100k×4096 assignments stay in a few hundred MB."""
+    c_sq = np.einsum("kd,kd->k", centers, centers)
+    out = np.empty(x.shape[0], dtype=np.int64)
+    for s in range(0, x.shape[0], block):
+        xb = x[s:s + block]
+        d = xb @ centers.T
+        d *= -2.0
+        d += c_sq[None, :]
+        out[s:s + block] = np.argmin(d, axis=1)
+    return out
+
+
 def seed_codebooks(
     method: str,
     extraction_type: str,
@@ -392,20 +409,33 @@ def seed_codebooks(
 
     vectors: Optional[np.ndarray] = None
     if features is not None:
-        # Feature-driven init (reference `initialize_from_encodec`,
-        # 1448-1565): per-layer k-means over the same features with the
-        # reference's per-layer seeds (42 + i*123 pattern).
+        # Feature-driven init, RESIDUAL-aware (improves on reference
+        # `initialize_from_encodec`, 1448-1565, which k-means the same
+        # features for every layer with reseeds 42 + i*123): layer n of a
+        # residual quantizer sees what layers < n left behind — residuals
+        # near zero with a fraction of the feature norm — so full-scale
+        # feature centroids in layers 1+ make every residual argmin onto
+        # the few centroids nearest the origin and those layers emit
+        # near-constant tokens (measured: stream diversity pinned at the
+        # collapse bar with 3 of 4 layers degenerate).  Seeding layer n by
+        # k-means over the layer-(n−1) residuals matches what the layer
+        # quantizes at inference; the chain runs in the clustering space,
+        # per-layer reseeded with the reference's 42 + i*123 pattern.
         features = np.asarray(features, dtype=np.float32)
         codebook = np.empty((num_layers, codebook_size, input_dim),
                             dtype=np.float32)
+        residual = features.copy()
         for i in range(num_layers):
-            centroids = robust_kmeans(features, codebook_size,
+            centroids = robust_kmeans(residual, codebook_size,
                                       seed=seed + i * 123,
                                       whiten=whiten_features)
             codebook[i] = _align_dim(centroids.astype(np.float32),
                                      input_dim, seed)
-        logger.info(f"Seeded {extraction_type} codebooks by k-means over "
-                    f"{features.shape[0]} feature vectors")
+            if i + 1 < num_layers:
+                residual = residual - centroids[
+                    _nearest_centroid(residual, centroids)]
+        logger.info(f"Seeded {extraction_type} codebooks by residual "
+                    f"k-means over {features.shape[0]} feature vectors")
         if use_cache:
             cb_cache.save_codebooks(
                 cache_dir, key, codebook,

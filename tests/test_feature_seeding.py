@@ -173,3 +173,22 @@ def test_feature_path_per_layer_seeds_differ():
         use_cache=False)
     assert cb.shape == (3, 8, 16)
     assert not np.allclose(cb[0], cb[1])
+
+
+def test_feature_path_layers_seed_on_residuals():
+    """Layer n clusters what layers < n left behind: deeper codebooks must
+    shrink toward the residual scale (a full-scale layer-1 codebook makes
+    every inference residual argmin onto the few centroids nearest the
+    origin — 3 of 4 layers then emit near-constant tokens)."""
+    rng = np.random.default_rng(7)
+    # clusterable data: 8 well-separated modes + noise
+    modes = rng.standard_normal((8, 16)).astype(np.float32) * 10.0
+    feats = (modes[rng.integers(0, 8, 2000)]
+             + rng.standard_normal((2000, 16)).astype(np.float32))
+    cb = seeding.seed_codebooks(
+        method="kmeans", extraction_type="semantic", num_layers=3,
+        codebook_size=8, input_dim=16, seed=42, features=feats,
+        use_cache=False, whiten_features=False)
+    norms = np.linalg.norm(cb, axis=-1).mean(axis=1)   # [layers]
+    assert norms[1] < 0.5 * norms[0]
+    assert norms[2] <= norms[1] * 1.5   # deeper layers stay residual-scale
